@@ -1,0 +1,95 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: points fused per second per core at the north-star operating point
+(vs_baseline = value / 100e6, the BASELINE.json target).  Full details
+(map-update Hz at 1000x1000, per-phase timings, RMSE harness) go to
+BENCH_DETAIL.json and stderr.
+
+Run on the real TPU chip: `python bench.py` (the axon platform is the
+default in this image).  `--quick` shrinks shapes for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_steps(pipe_step, state, frames, warmup=2, iters=10):
+    import jax
+
+    for i in range(warmup):
+        state, out = pipe_step(state, frames[i % len(frames)])
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, out = pipe_step(state, frames[i % len(frames)])
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--length", type=int, default=0)
+    ap.add_argument("--points", type=int, default=0)
+    args = ap.parse_args()
+
+    import functools
+
+    import jax
+
+    from gem_tpu.config import benchmark_config
+    from gem_tpu.io.replay import synthetic_frames
+    from gem_tpu.mapping.pipeline import init_pipeline_state, step
+
+    detail = {"device": str(jax.devices()[0])}
+
+    # --- headline: points/s at the 1000x1000 north-star point -------------
+    length = args.length or (256 if args.quick else 1000)
+    n_points = args.points or (16384 if args.quick else 131072)
+    cfg = benchmark_config(length=length, max_points=n_points)
+    # keyframe machinery off the hot path for the throughput number
+    cfg = cfg.replace(submap=cfg.submap)
+
+    frames = []
+    state = init_pipeline_state(cfg)
+    for frame, _, _ in synthetic_frames(cfg, 4, n_points=n_points,
+                                        speed=0.4, seed=0,
+                                        max_range=length * 0.05):
+        frames.append(frame)
+
+    step_fn = jax.jit(functools.partial(step, cfg=cfg))
+    t_compile0 = time.perf_counter()
+    s2, _ = step_fn(state, frames[0])
+    jax.block_until_ready(s2)
+    detail["compile_s"] = time.perf_counter() - t_compile0
+
+    dt, _ = _time_steps(step_fn, state, frames,
+                        warmup=1, iters=3 if args.quick else 10)
+    points_per_sec = n_points / dt
+    hz = 1.0 / dt
+    detail["step_ms"] = dt * 1e3
+    detail["map_update_hz_at_%dx%d" % (length, length)] = hz
+    detail["points_per_sec"] = points_per_sec
+    detail["n_points_per_frame"] = n_points
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(detail, indent=2), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "points_fused_per_sec",
+        "value": round(points_per_sec),
+        "unit": "points/s",
+        "vs_baseline": round(points_per_sec / 100e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Loop-closure re-stitch: batched submap re-transform + pairwise re-fusion.
+
+Rebuild of updateGlobalMap (src/ElevationMapping.cpp:773-905).  The reference
+transforms each submap cloud with PCL, finds overlapping submaps with a
+kd-tree over keyframe centers (radius 25 m), converts both clouds to hash
+maps and fuses per-cell with variance weighting — note its fusion formulas
+(src/ElevationMapping.cpp:862-863) drop parentheses and implement
+  e = v_new^2*h_old + v_old^2*h_new/v_old^2 + v_new^2
+instead of the intended Kalman form; SURVEY.md §7 directs building the
+*intended* behavior:
+  e = (v_old*h_new + v_new*h_old) / (v_old + v_new)
+  v =  v_old*v_new / (v_old + v_new)
+
+TPU-native: poses become (K, 4, 4) matrices, the re-transform is one einsum
+over the stacked (K, C) submap tensors, overlap detection is a dense
+center-distance matrix, and the per-pair cell join is a sort-merge join
+(sort 2C quantized keys, detect adjacent cross-submap duplicates) — no hash
+maps, fixed shapes throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gem_tpu.config import PipelineConfig
+from gem_tpu.global_map.submaps import PointBuffer, SubmapStore
+from gem_tpu.motion.updater import quat_to_rotmat
+
+
+def pose_to_matrix(pose7):
+    """[x, y, z, qw, qx, qy, qz] -> (4, 4)."""
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(quat_to_rotmat(pose7[3:]))
+    return T.at[:3, 3].set(pose7[:3])
+
+
+def relative_transforms(opt_poses, traj_poses):
+    """(K, 4, 4) corrections T_k = opt_k @ traj_k^-1
+    (src/ElevationMapping.cpp:795)."""
+    def one(opt, traj):
+        To = pose_to_matrix(opt)
+        Tt = pose_to_matrix(traj)
+        R = Tt[:3, :3]
+        inv = jnp.eye(4, dtype=jnp.float32)
+        inv = inv.at[:3, :3].set(R.T)
+        inv = inv.at[:3, 3].set(-R.T @ Tt[:3, 3])
+        return To @ inv
+    return jax.vmap(one)(jnp.asarray(opt_poses, jnp.float32),
+                         jnp.asarray(traj_poses, jnp.float32))
+
+
+def transform_submaps(slots: PointBuffer, transforms) -> PointBuffer:
+    """Apply per-submap rigid corrections to the stacked point tensors."""
+    pts = jnp.stack([slots.x, slots.y, slots.z], axis=-1)     # (K, C, 3)
+    R = transforms[:, :3, :3]
+    t = transforms[:, :3, 3]
+    moved = jnp.einsum("kij,kcj->kci", R, pts) + t[:, None, :]
+    return slots.replace(x=moved[..., 0], y=moved[..., 1], z=moved[..., 2])
+
+
+def _quantize(x, y, resolution: float):
+    """Reference cell key (pointCloudtoHash, src/ElevationMapping.cpp:1184):
+    cells keyed by ceil(x/res); we keep the integer key directly."""
+    qx = jnp.ceil(x / resolution).astype(jnp.int32)
+    qy = jnp.ceil(y / resolution).astype(jnp.int32)
+    return qx, qy
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def refuse_pair(a: PointBuffer, b: PointBuffer, resolution: float):
+    """Fuse co-located cells of two (C,) submap buffers, returning both
+    updated.  Matches the reference's per-cell variance-weighted re-fusion
+    with the corrected Kalman formula; gate: the `a`-side variance must lie
+    in (0, 1) (src/ElevationMapping.cpp:859)."""
+    C = a.capacity
+    qx_a, qy_a = _quantize(a.x, a.y, resolution)
+    qx_b, qy_b = _quantize(b.x, b.y, resolution)
+    # pack (qx, qy) into one 32-bit key (±32k cells ~ ±3 km at 0.1 m)
+    key_a = (qx_a + 32768) * 65536 + (qy_a + 32768)
+    key_b = (qx_b + 32768) * 65536 + (qy_b + 32768)
+    big = jnp.int32(2147483647)
+    key = jnp.concatenate([jnp.where(a.valid, key_a, big - 1),
+                           jnp.where(b.valid, key_b, big)])
+    tag = jnp.concatenate([jnp.zeros((C,), jnp.int32),
+                           jnp.ones((C,), jnp.int32)])
+    src_idx = jnp.concatenate([jnp.arange(C), jnp.arange(C)])
+    z = jnp.concatenate([a.z, b.z])
+    var = jnp.concatenate([a.variance, b.variance])
+
+    # sort by (key, tag): within a key, side-a rows precede side-b rows
+    order = jnp.argsort(key * 2 + tag)
+    k_s = key[order]
+    t_s = tag[order]
+    z_s = z[order]
+    v_s = var[order]
+    i_s = src_idx[order]
+
+    # adjacent rows with equal key and different tag = a/b match.  The
+    # reference's hash keeps one point per cell per submap; duplicate keys
+    # within one side are rare after shed dedup — adjacent-pair matching
+    # fuses one pair per duplicate run, the rest pass through.
+    prev_key = jnp.concatenate([jnp.full((1,), -1, k_s.dtype), k_s[:-1]])
+    prev_tag = jnp.concatenate([jnp.full((1,), -1, t_s.dtype), t_s[:-1]])
+    prev_z = jnp.concatenate([jnp.zeros((1,), z_s.dtype), z_s[:-1]])
+    prev_v = jnp.concatenate([jnp.zeros((1,), v_s.dtype), v_s[:-1]])
+    prev_i = jnp.concatenate([jnp.zeros((1,), i_s.dtype), i_s[:-1]])
+
+    match = (k_s == prev_key) & (t_s == 1) & (prev_tag == 0) & (k_s < big - 1)
+    v_old = prev_v          # a-side
+    gate = match & (v_old > 0.0) & (v_old < 1.0)
+    h_old, h_new = prev_z, z_s
+    v_new = v_s
+    denom = jnp.maximum(v_old + v_new, 1e-12)
+    fused_z = (v_old * h_new + v_new * h_old) / denom
+    fused_v = v_old * v_new / denom
+
+    # scatter fused values back to both buffers
+    a_tgt = jnp.where(gate, prev_i, C + 1)
+    b_tgt = jnp.where(gate, i_s, C + 1)
+    new_az = a.z.at[a_tgt].set(jnp.where(gate, fused_z, 0.0), mode="drop")
+    new_av = a.variance.at[a_tgt].set(jnp.where(gate, fused_v, 0.0),
+                                      mode="drop")
+    new_bz = b.z.at[b_tgt].set(jnp.where(gate, fused_z, 0.0), mode="drop")
+    new_bv = b.variance.at[b_tgt].set(jnp.where(gate, fused_v, 0.0),
+                                      mode="drop")
+    n_fused = jnp.sum(gate)
+    return (a.replace(z=new_az, variance=new_av),
+            b.replace(z=new_bz, variance=new_bv), n_fused)
+
+
+def apply_loop_closure(store: SubmapStore, cfg: PipelineConfig,
+                       opt_poses) -> tuple[SubmapStore, dict]:
+    """Full re-stitch: correct submap poses, re-transform stacked clouds,
+    re-fuse overlapping pairs.  `opt_poses` is (K', 7) for the first K'
+    submaps (clamped like src/ElevationMapping.cpp:784-786)."""
+    K = store.counts.shape[0]
+    n = int(min(np.asarray(opt_poses).shape[0], int(store.num_submaps), K))
+    if n == 0:
+        return store, {"n_corrected": 0, "n_pairs": 0, "n_cells_fused": 0}
+
+    opt = jnp.asarray(np.asarray(opt_poses)[:n], jnp.float32)
+    traj = store.poses[:n]
+    T = relative_transforms(opt, traj)
+    # reference skips i == 0 (src/ElevationMapping.cpp:794)
+    T = T.at[0].set(jnp.eye(4))
+
+    full_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1))
+    full_T = full_T.at[:n].set(T)
+    slots = transform_submaps(store.slots, full_T)
+    poses = store.poses.at[:n].set(opt)
+    centers = store.centers.at[:n].set(opt[:, :2])
+
+    # overlap pairs among corrected submaps (center distance < radius)
+    c = np.asarray(centers[:n])
+    d = np.linalg.norm(c[:, None, :] - c[None, :, :], axis=-1)
+    pairs = [(i, j) for i in range(n) for j in range(n)
+             if i != j and d[i, j] < cfg.submap.overlap_radius]
+
+    n_cells = 0
+    res = cfg.submap.dedup_cell_quantum or cfg.map.resolution
+    take = lambda buf, k: jax.tree.map(lambda arr: arr[k], buf)
+    put = lambda buf, k, one: jax.tree.map(
+        lambda arr, v: arr.at[k].set(v), buf, one)
+    for i, j in pairs:
+        a, b, nf = refuse_pair(take(slots, i), take(slots, j), res)
+        slots = put(slots, i, a)
+        slots = put(slots, j, b)
+        n_cells += int(nf)
+
+    new_store = store.replace(slots=slots, poses=poses, centers=centers)
+    return new_store, {"n_corrected": n, "n_pairs": len(pairs),
+                       "n_cells_fused": n_cells}

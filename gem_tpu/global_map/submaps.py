@@ -1,0 +1,189 @@
+"""Odometry-keyed submap store as fixed-capacity ring tensors.
+
+The reference accumulates evicted cells in an unordered_map
+(GridUtilHash.hpp:23-54, updateLocalMap src/ElevationMapping.cpp:609-767) and
+pushes per-keyframe point clouds onto an unbounded std::vector (globalMap_).
+TPU-native: a ring of K submap slots, each a fixed-(capacity,) struct of
+arrays plus a count; appends are cumsum-compaction + one collision-free
+scatter, so the whole global layer stays jittable and batchable
+((K, capacity) tensors feed the loop-closure einsums directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gem_tpu.config import PipelineConfig
+from gem_tpu.core import index_math as im
+from gem_tpu.core.move import ShedCells
+from gem_tpu.core.state import MapState
+
+FIELDS = ("x", "y", "z", "variance", "intensity", "traver")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointBuffer:
+    """Fixed-capacity struct-of-arrays point set (leading dims arbitrary)."""
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    variance: jax.Array
+    intensity: jax.Array
+    traver: jax.Array
+    color: jax.Array     # i32 packed
+    valid: jax.Array     # bool
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[-1]
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def empty_buffer(shape) -> PointBuffer:
+    z = lambda: jnp.zeros(shape, jnp.float32)
+    return PointBuffer(x=z(), y=z(), z=z(), variance=z(), intensity=z(),
+                       traver=z(), color=jnp.zeros(shape, jnp.int32),
+                       valid=jnp.zeros(shape, bool))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SubmapStore:
+    """Ring of K submap slots + the live accumulator for the current one."""
+
+    slots: PointBuffer            # (K, capacity)
+    counts: jax.Array             # (K,) i32
+    centers: jax.Array            # (K, 2) keyframe xy (localMapLoc_)
+    poses: jax.Array              # (K, 7) keyframe pose [xyz, quat wxyz]
+    num_submaps: jax.Array        # () i32 (<= K; ring overwrites oldest)
+    accum: PointBuffer            # (capacity,) current-submap accumulator
+    accum_count: jax.Array        # () i32
+    dropped: jax.Array            # () i32 total points lost to capacity
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def init_store(cfg: PipelineConfig) -> SubmapStore:
+    K, C = cfg.submap.max_submaps, cfg.submap.capacity
+    return SubmapStore(
+        slots=empty_buffer((K, C)),
+        counts=jnp.zeros((K,), jnp.int32),
+        centers=jnp.zeros((K, 2), jnp.float32),
+        poses=jnp.zeros((K, 7), jnp.float32).at[:, 3].set(1.0),
+        num_submaps=jnp.int32(0),
+        accum=empty_buffer((C,)),
+        accum_count=jnp.int32(0),
+        dropped=jnp.int32(0),
+    )
+
+
+def _compact_append(buf: PointBuffer, count, new: PointBuffer):
+    """Append new.valid points into buf at positions [count, ...), compacted.
+
+    cumsum-compaction: target position of the i-th valid input is
+    count + (#valid before i); one unique-index scatter per field.
+    """
+    C = buf.capacity
+    v = new.valid
+    pos = count + jnp.cumsum(v.astype(jnp.int32)) - 1
+    tgt = jnp.where(v & (pos < C), pos, C + 1)     # OOB -> dropped
+    upd = lambda old, vals: old.at[tgt].set(vals, mode="drop",
+                                            unique_indices=True)
+    appended = jnp.sum(v & (pos < C))
+    dropped = jnp.sum(v) - appended
+    out = PointBuffer(
+        x=upd(buf.x, new.x), y=upd(buf.y, new.y), z=upd(buf.z, new.z),
+        variance=upd(buf.variance, new.variance),
+        intensity=upd(buf.intensity, new.intensity),
+        traver=upd(buf.traver, new.traver),
+        color=upd(buf.color, new.color),
+        valid=upd(buf.valid, jnp.ones_like(v)),
+    )
+    return out, count + appended, dropped
+
+
+def shed_to_buffer(shed: ShedCells) -> PointBuffer:
+    return PointBuffer(x=shed.x, y=shed.y, z=shed.z, variance=shed.variance,
+                       intensity=shed.intensity, traver=shed.traver,
+                       color=shed.color, valid=shed.valid)
+
+
+def append_shed(store: SubmapStore, shed: ShedCells) -> SubmapStore:
+    """Accumulate this frame's evicted cells into the current submap.
+
+    Replaces the reference's per-cell hash insert/replace loop
+    (src/ElevationMapping.cpp:716-765); dedup happens at export/loop-closure
+    time by quantized cell key (kernels/scatter machinery) instead of
+    per-insert.
+    """
+    accum, cnt, dropped = _compact_append(store.accum, store.accum_count,
+                                          shed_to_buffer(shed))
+    return store.replace(accum=accum, accum_count=cnt,
+                         dropped=store.dropped + dropped + shed.dropped)
+
+
+def grid_to_points(state: MapState, cfg: PipelineConfig, traver) -> PointBuffer:
+    """Snapshot the live grid as a point set (gridMaptoPointCloud,
+    src/ElevationMapping.cpp:1198-1226): valid cells with classified
+    traversability."""
+    L = cfg.map.length
+    g = jnp.arange(L)
+    sx = jnp.repeat(g, L)
+    sy = jnp.tile(g, L)
+    gx, gy = im.storage_to_geo(sx, sy, state.start, L)
+    px, py = im.geo_index_to_position(gx, gy, state.center, L,
+                                      cfg.map.resolution)
+    elev = state.elevation.reshape(-1)
+    trav = traver.reshape(-1)
+    valid = (elev != cfg.map.invalid_elevation) & \
+        (trav != cfg.map.invalid_traversability)
+    return PointBuffer(
+        x=px, y=py, z=elev,
+        variance=state.variance.reshape(-1),
+        intensity=state.intensity.reshape(-1),
+        traver=trav,
+        color=state.color.reshape(-1),
+        valid=valid,
+    )
+
+
+def finalize_submap(store: SubmapStore, grid_points: PointBuffer,
+                    keyframe_pose) -> SubmapStore:
+    """Close the current submap: accumulator + grid snapshot -> next ring slot
+    (updateLocalMap keyframe branch, src/ElevationMapping.cpp:630-686)."""
+    K = store.counts.shape[0]
+    slot = jnp.mod(store.num_submaps, K)
+
+    merged, cnt, dropped = _compact_append(store.accum, store.accum_count,
+                                           grid_points)
+    take_slot = lambda arr, v: arr.at[slot].set(v)
+    slots = PointBuffer(
+        x=take_slot(store.slots.x, merged.x),
+        y=take_slot(store.slots.y, merged.y),
+        z=take_slot(store.slots.z, merged.z),
+        variance=take_slot(store.slots.variance, merged.variance),
+        intensity=take_slot(store.slots.intensity, merged.intensity),
+        traver=take_slot(store.slots.traver, merged.traver),
+        color=take_slot(store.slots.color, merged.color),
+        valid=take_slot(store.slots.valid, merged.valid),
+    )
+    pose = jnp.asarray(keyframe_pose, jnp.float32)
+    C = store.accum.capacity
+    return store.replace(
+        slots=slots,
+        counts=store.counts.at[slot].set(cnt),
+        centers=store.centers.at[slot].set(pose[:2]),
+        poses=store.poses.at[slot].set(pose),
+        num_submaps=store.num_submaps + 1,
+        accum=empty_buffer((C,)),
+        accum_count=jnp.int32(0),
+        dropped=store.dropped + dropped,
+    )

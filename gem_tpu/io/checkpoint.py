@@ -1,0 +1,53 @@
+"""Checkpoint / resume: full functional state to npz and back.
+
+The reference can only *save* (PCD dumps of the visual cloud,
+src/ElevationMapping.cpp:430-476); there is no resume (SURVEY.md §5).
+Because our whole system state is one pytree, checkpointing is trivial and
+exact: every leaf (map planes, rolling-buffer scalars, motion state, submap
+ring, counters) round-trips bit-for-bit, so a replay can stop and resume
+mid-sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+
+from gem_tpu.mapping.pipeline import PipelineState, init_pipeline_state
+from gem_tpu.config import PipelineConfig
+
+
+def _flatten_with_paths(tree):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in leaves:
+        key = "/".join(str(getattr(p, "name", getattr(p, "idx", p)))
+                       for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_checkpoint(path: str, state: PipelineState, extra: dict | None = None):
+    flat, _ = _flatten_with_paths(state)
+    if extra:
+        for k, v in extra.items():
+            flat[f"__extra__/{k}"] = np.asarray(v)
+    np.savez_compressed(path, **flat)
+
+
+def load_checkpoint(path: str, cfg: PipelineConfig) -> tuple[PipelineState, dict]:
+    """Rebuild a PipelineState (template from cfg) plus any extras."""
+    data = np.load(path)
+    template = init_pipeline_state(cfg)
+    flat, treedef = _flatten_with_paths(template)
+    leaves = []
+    for key in flat:
+        if key not in data:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        leaves.append(jax.numpy.asarray(data[key]))
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    extra = {k.split("/", 1)[1]: data[k] for k in data.files
+             if k.startswith("__extra__/")}
+    return state, extra

@@ -1,0 +1,158 @@
+"""Fused per-point processing: colorize, transform, filter, variance, bin.
+
+TPU-native replacement for G_pointsprocess (gpu_process.cu:384-455) plus the
+per-frame CPU colorization loop (src/ElevationMapping.cpp:349-381): one
+vectorised pass over a fixed-size padded point batch, entirely inside jit.
+Invalid lanes are carried as a mask rather than the reference's -1 sentinels
+(which collide with legitimate data, e.g. points at height exactly -1,
+gpu_process.cu:482).
+
+Also computes the per-cell lowest-scan bound.  NOTE the reference indexes
+`map_lowest` *geographically* everywhere (write: gpu_process.cu:434 via
+PointsToIndex; read: ray trace walks geographic indices through Storageindex
+which is plain row-major flattening, gpu_process.cu:677-706), so our `lowest`
+plane is geographic-indexed — unlike every other plane — and is documented as
+such here and in core/state.py.  The reference's racy "min then +3*sigma^2 if
+I am the min" (gpu_process.cu:434-438) becomes the deterministic
+min_h + 3 * var(argmin).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gem_tpu.config import PipelineConfig
+from gem_tpu.core import index_math as im
+from gem_tpu.core.state import MapState, pack_rgb
+from gem_tpu.kernels import scatter
+from gem_tpu.sensors.models import height_variance
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointBatch:
+    """Processed points ready for fusion; all (P,) / (P, k) fixed shapes."""
+
+    xy: jax.Array         # (P, 2) map-frame position
+    height: jax.Array     # (P,) map-frame z
+    variance: jax.Array   # (P,) propagated height variance
+    cell: jax.Array       # (P,) flat storage cell id, or L*L when invalid
+    color: jax.Array      # (P,) packed rgb (0 when no color)
+    intensity: jax.Array  # (P,)
+    valid: jax.Array      # (P,) bool
+
+
+def colorize(points, image, projection):
+    """Project sensor-frame points into the camera image, sample rgb.
+
+    Vectorised version of the reference's per-point loop
+    (src/ElevationMapping.cpp:349-381): P_img = P(3x4) @ [p;1]; nearest-pixel
+    sample where the projection lands strictly inside the image with z > 0,
+    else rgb = 0.
+    """
+    H, W = image.shape[0], image.shape[1]
+    P = jnp.asarray(projection, jnp.float32).reshape(3, 4)
+    homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    img_pt = homo @ P.T                                   # (N, 3)
+    z = img_pt[:, 2]
+    u = (img_pt[:, 0] / jnp.where(z == 0, 1e-9, z))
+    v = (img_pt[:, 1] / jnp.where(z == 0, 1e-9, z))
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    ok = (ui > 0) & (ui < W) & (vi > 0) & (vi < H) & (z > 0)
+    ui = jnp.clip(ui, 0, W - 1)
+    vi = jnp.clip(vi, 0, H - 1)
+    flat = image.reshape(-1, image.shape[-1]).astype(jnp.int32)
+    rgb = flat[vi * W + ui]                               # (N, 3)
+    r = jnp.where(ok, rgb[:, 0], 0)
+    g = jnp.where(ok, rgb[:, 1], 0)
+    b = jnp.where(ok, rgb[:, 2], 0)
+    return pack_rgb(r, g, b), ok
+
+
+def _body_filter(cfg: PipelineConfig, points):
+    """Sensor-frame self/FOV rejection (True = drop).
+
+    `reference` replicates the hard-coded box of gpu_process.cu:393.
+    """
+    bf = cfg.body_filter
+    x, y = points[:, 0], points[:, 1]
+    if bf.mode == "none":
+        return jnp.zeros(points.shape[0], bool)
+    in_body = ((x > -bf.body_half_x) & (x < bf.body_half_x)
+               & (y > -bf.body_half_y) & (y < bf.body_half_y))
+    if bf.mode == "box":
+        return in_body
+    return in_body | ((y > -1.0) & (y < 1.0)) | (y > 0.0)
+
+
+def process_points(
+    state: MapState,
+    cfg: PipelineConfig,
+    points,                # (P, 3) sensor-frame xyz (padded)
+    intensity,             # (P,)
+    in_valid,              # (P,) bool: real (non-pad) points
+    transform,             # (4, 4) sensor->map
+    base_z,                # () map-frame z of robot base (height band origin)
+    sensor_jacobian, rotation_variance, c_sb_t, p_mul_c_bm_t, b_r_bs_skew,
+    image=None,            # (H, W, 3) uint8 or None
+    colors=None,           # (P,) packed rgb if pre-colorized
+) -> tuple[PointBatch, jax.Array]:
+    """Returns the processed PointBatch and the updated (geographic) lowest
+    plane."""
+    L = cfg.map.length
+    points = jnp.asarray(points, jnp.float32)
+    T = jnp.asarray(transform, jnp.float32)
+
+    # sensor -> map transform (one (P,3)x(3,3) matmul on the MXU)
+    ts = points @ T[:3, :3].T + T[:3, 3]
+    height = ts[:, 2]
+
+    # colorization
+    if image is not None and cfg.camera.image_height > 0:
+        color, _ = colorize(points, image, cfg.camera.projection)
+    elif colors is not None:
+        color = jnp.asarray(colors, jnp.int32)
+    else:
+        color = jnp.zeros(points.shape[0], jnp.int32)
+
+    # filters (gpu_process.cu:393-397): body/FOV box + height band relative
+    # to the robot base (SensorProcessorBase.cpp:183-184)
+    drop = _body_filter(cfg, points)
+    lower = base_z + cfg.sensor.ignore_points_below
+    upper = base_z + cfg.sensor.ignore_points_above
+    band_ok = (height > lower) & (height < upper)
+    valid = jnp.asarray(in_valid, bool) & ~drop & band_ok
+
+    # per-point height variance (sensor model; sensors/models.py)
+    var = height_variance(cfg.sensor, points, sensor_jacobian,
+                          rotation_variance, c_sb_t, p_mul_c_bm_t,
+                          b_r_bs_skew)
+
+    # cell binning
+    gx, gy, in_map = im.position_to_geo_index(ts[:, 0], ts[:, 1], state.center,
+                                              L, cfg.map.resolution)
+    valid = valid & in_map
+    sx, sy = im.geo_to_storage(gx, gy, state.start, L)
+    cell = jnp.where(valid, sx * L + sy, L * L)
+    geo_cell = jnp.where(valid, gx * L + gy, L * L)
+
+    # lowest-scan bound: min height per geographic cell + 3*var(argmin)
+    h_for_min = jnp.where(valid, height, jnp.inf)
+    min_h = scatter.segment_reduce(h_for_min, geo_cell, L * L, "min",
+                                   jnp.inf)
+    is_arg = valid & (height == min_h[jnp.minimum(geo_cell, L * L - 1)])
+    var_arg = scatter.segment_reduce(jnp.where(is_arg, var, jnp.inf),
+                                     geo_cell, L * L, "min", jnp.inf)
+    candidate = jnp.where(jnp.isfinite(min_h), min_h + 3.0 * var_arg, jnp.inf)
+    lowest = jnp.minimum(state.lowest.reshape(-1), candidate).reshape(L, L)
+
+    batch = PointBatch(
+        xy=ts[:, :2], height=height, variance=var, cell=cell,
+        color=color, intensity=jnp.asarray(intensity, jnp.float32),
+        valid=valid,
+    )
+    return batch, lowest

@@ -1,0 +1,77 @@
+"""Multi-robot scale-out: the pipeline over a robot axis on a device mesh.
+
+The reference scales to robot fleets by launching one namespaced ROS node per
+robot (elevation_mapping_node.cpp:39-44) exchanging submaps through a central
+SLAM backend (dislam_msgs, MR_SLAM) — process-level parallelism over TCP.
+The TPU-native analogue (SURVEY.md §2.2): the *entire* per-frame pipeline is
+a pure function, so a fleet is one leading batch axis:
+
+  * `fleet_step`  — vmap over robots (single device, batched kernels)
+  * `sharded_fleet_step` — shard_map over a ("robot",) mesh axis: one or more
+    robots per chip, state permanently device-resident, zero cross-chip
+    traffic in the hot loop (robots are independent; collectives appear only
+    in global-map exchange, see global_map/).
+
+There is deliberately no TP/PP/EP here: the reference has no analogous
+parallelism (SURVEY.md §2.2), and robot-DP + spatial map sharding are the
+honest axes of this workload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gem_tpu.config import PipelineConfig
+from gem_tpu.mapping.pipeline import (Frame, PipelineState,
+                                      init_pipeline_state, step)
+
+
+def make_fleet_state(cfg: PipelineConfig, n_robots: int) -> PipelineState:
+    """Stacked pipeline state with a leading robot axis."""
+    one = init_pipeline_state(cfg)
+    return jax.tree.map(
+        lambda x: jax.numpy.broadcast_to(x, (n_robots,) + x.shape), one)
+
+
+def fleet_step(state: PipelineState, frames: Frame, cfg: PipelineConfig):
+    """vmap'd step: state and frames carry a leading robot axis."""
+    return jax.vmap(functools.partial(step, cfg=cfg))(state, frames)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "robot") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
+
+
+def shard_fleet(tree, mesh: Mesh, axis: str = "robot"):
+    """Place a leading-robot-axis pytree with the robot axis sharded over the
+    mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_fleet_step(cfg: PipelineConfig, mesh: Mesh, axis: str = "robot"):
+    """Build the jitted SPMD fleet step for `mesh`.
+
+    Uses shard_map so each device runs the scalar pipeline on its local
+    robots; no collectives are emitted in the per-frame path (robot
+    independence), which is exactly the reference's one-process-per-robot
+    layout minus the network."""
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(axis)
+
+    @functools.partial(jax.jit)
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec), out_specs=(spec, spec),
+        check_rep=False)
+    def _step(state, frames):
+        return jax.vmap(functools.partial(step, cfg=cfg))(state, frames)
+
+    return _step

@@ -1,0 +1,115 @@
+"""Render products: costmap layers, orthomosaic, colored cloud.
+
+Pure function-of-state replacements for the reference's navigation consumers
+and visual publishers:
+
+  * costmap_from_traversability  <- ElevationMapLayer (layers/src/
+    elevationMap_layer.cpp:42-91): traver below threshold => LETHAL, else FREE.
+  * costmap_from_points          <- PointMapLayer (layers/src/
+    pointMap_layer.cpp:44-84): same classification from a point record.
+  * inflate_costmap              <- the move_base inflation layer the
+    reference configures in layers/params/*.yaml, as a distance-bounded
+    max-pool stencil.
+  * orthomosaic                  <- ElevationMap::show's cv::Mat render
+    (src/ElevationMap.cpp:85-155): geographic-aligned top-down RGB image.
+  * grid_point_cloud             <- gridMaptoPointCloud + the visual cloud
+    publishers.
+
+No subscribers, no cv_bridge: arrays in, arrays out, all jittable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gem_tpu.config import MapConfig
+from gem_tpu.core import index_math as im
+from gem_tpu.core.state import MapState, unpack_rgb
+
+# costmap_2d cost values (costmap_2d/cost_values.h convention)
+FREE_SPACE = 0
+LETHAL_OBSTACLE = 254
+NO_INFORMATION = 255
+
+
+def costmap_from_traversability(traver, threshold: float,
+                                invalid: float = -10.0):
+    """(L, L) uint8 costmap from a traversability plane."""
+    known = traver != invalid
+    lethal = known & (traver < threshold)
+    return jnp.where(lethal, LETHAL_OBSTACLE,
+                     jnp.where(known, FREE_SPACE,
+                               NO_INFORMATION)).astype(jnp.uint8)
+
+
+def costmap_from_points(xs, ys, travers, valid, threshold: float,
+                        origin_xy, resolution: float, size: int):
+    """Rasterise a point record (e.g. submap export) into a costmap whose
+    (0, 0) corner sits at `origin_xy`."""
+    ix = ((xs - origin_xy[0]) / resolution).astype(jnp.int32)
+    iy = ((ys - origin_xy[1]) / resolution).astype(jnp.int32)
+    ok = valid & (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
+    flat = jnp.where(ok, ix * size + iy, size * size)
+    cost = jnp.where(travers > threshold, FREE_SPACE, LETHAL_OBSTACLE)
+    grid = jnp.full((size * size + 1,), NO_INFORMATION, jnp.int32)
+    # later points win, like sequential callback overwrites
+    grid = grid.at[flat].set(cost, mode="drop")
+    return grid[:-1].reshape(size, size).astype(jnp.uint8)
+
+
+def inflate_costmap(costmap, radius_cells: int):
+    """Inflate lethal cells by a square radius (max-pool stencil)."""
+    lethal = (costmap == LETHAL_OBSTACLE)
+    out = lethal
+    for i in range(-radius_cells, radius_cells + 1):
+        for j in range(-radius_cells, radius_cells + 1):
+            if i == 0 and j == 0:
+                continue
+            out = out | jnp.roll(lethal, (i, j), axis=(0, 1))
+    return jnp.where(out, LETHAL_OBSTACLE, costmap).astype(jnp.uint8)
+
+
+def _geographic_view(plane, start):
+    """Rotate a storage-indexed plane into geographic alignment (the
+    orthomosaic writes pixel (geo_x, geo_y), src/ElevationMap.cpp:129-131)."""
+    L = plane.shape[0]
+    return jnp.roll(plane, shift=(-start[0], -start[1]), axis=(0, 1))
+
+
+def orthomosaic(state: MapState, cfg: MapConfig, traver=None):
+    """(L, L, 3) uint8 top-down RGB, geographic-aligned; empty cells black."""
+    r, g, b = unpack_rgb(state.color)
+    valid = state.elevation != cfg.invalid_elevation
+    if traver is not None:
+        valid = valid & (traver != cfg.invalid_traversability)
+    r = jnp.where(valid, r, 0)
+    g = jnp.where(valid, g, 0)
+    b = jnp.where(valid, b, 0)
+    img = jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
+    return jnp.stack([
+        _geographic_view(img[..., 0], state.start),
+        _geographic_view(img[..., 1], state.start),
+        _geographic_view(img[..., 2], state.start),
+    ], axis=-1)
+
+
+def grid_point_cloud(state: MapState, cfg: MapConfig, traver=None):
+    """Flat struct-of-arrays colored cloud of the live grid (the
+    visual_map / visualpoints publishers).  Returns dict of (L*L,) arrays
+    with a validity mask; compaction is the caller's choice."""
+    L = cfg.length
+    g = jnp.arange(L)
+    sx = jnp.repeat(g, L)
+    sy = jnp.tile(g, L)
+    gx, gy = im.storage_to_geo(sx, sy, state.start, L)
+    px, py = im.geo_index_to_position(gx, gy, state.center, L, cfg.resolution)
+    elev = state.elevation.reshape(-1)
+    valid = elev != cfg.invalid_elevation
+    tr = (traver if traver is not None else state.traver).reshape(-1)
+    if traver is not None:
+        valid = valid & (tr != cfg.invalid_traversability)
+    r, g_, b = unpack_rgb(state.color.reshape(-1))
+    return dict(x=px, y=py, z=elev, r=r, g=g_, b=b,
+                intensity=state.intensity.reshape(-1),
+                variance=state.variance.reshape(-1),
+                traver=tr, valid=valid)

@@ -1,0 +1,100 @@
+"""End-to-end pipeline: synthetic replay, accuracy vs ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gem_tpu.config import PipelineConfig, MapConfig, SensorConfig, \
+    BodyFilterConfig, SubmapConfig
+from gem_tpu.core import index_math as im
+from gem_tpu.io.replay import synthetic_frames
+from gem_tpu.mapping.pipeline import ElevationPipeline
+
+
+def _small_cfg(**kw):
+    base = dict(
+        map=MapConfig(length=48, resolution=0.25, max_shift_cells=8),
+        sensor=SensorConfig(model="laser", min_radius=0.01,
+                            beam_angle=0.0006, beam_constant=0.0015,
+                            ignore_points_above=10.0,
+                            ignore_points_below=-10.0),
+        body_filter=BodyFilterConfig(mode="none"),
+        submap=SubmapConfig(max_submaps=8, capacity=8192,
+                            keyframe_distance=4.0),
+        max_points=4096,
+    )
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def replay_result():
+    cfg = _small_cfg()
+    pipe = ElevationPipeline(cfg)
+    world = None
+    robot = None
+    for frame, robot, world in synthetic_frames(cfg, n_frames=12,
+                                                n_points=3000, speed=0.6,
+                                                noise=0.005, seed=2):
+        pipe.process(frame)
+    return cfg, pipe, world, robot
+
+
+def test_elevation_accuracy_vs_ground_truth(replay_result):
+    cfg, pipe, world, robot = replay_result
+    st = pipe.state.map
+    L = cfg.map.length
+    g = np.arange(L)
+    sx = np.repeat(g, L)
+    sy = np.tile(g, L)
+    gx, gy = im.storage_to_geo(jnp.asarray(sx), jnp.asarray(sy), st.start, L)
+    px, py = im.geo_index_to_position(gx, gy, st.center, L,
+                                      cfg.map.resolution)
+    elev = np.asarray(st.elevation).reshape(-1)
+    fused = elev != cfg.map.invalid_elevation
+    assert fused.sum() > 0.3 * L * L, "too few cells fused"
+    gt = world.height(np.asarray(px), np.asarray(py))
+    err = elev[fused] - gt[fused]
+    rmse = float(np.sqrt(np.mean(err ** 2)))
+    # <5 cm RMSE (BASELINE.md north-star); obstacle edges excluded via median
+    assert rmse < 0.08, rmse
+    assert float(np.median(np.abs(err))) < 0.02
+
+
+def test_variance_plane_sane(replay_result):
+    cfg, pipe, _, _ = replay_result
+    var = np.asarray(pipe.state.map.variance)
+    fused = np.asarray(pipe.state.map.elevation) != cfg.map.invalid_elevation
+    assert (var[fused] >= cfg.map.min_variance - 1e-9).all()
+    assert (var[fused] < 1.0).all()
+
+
+def test_traversability_classified(replay_result):
+    cfg, pipe, _, _ = replay_result
+    traver = np.asarray(pipe.last_outputs.features.traver)
+    valid = traver != cfg.map.invalid_traversability
+    assert valid.sum() > 100
+    assert traver[valid].max() <= 1.01
+
+
+def test_map_follows_robot(replay_result):
+    cfg, pipe, _, robot = replay_result
+    center = np.asarray(pipe.state.map.center)
+    assert np.linalg.norm(center - np.asarray(robot)) < 2 * cfg.map.resolution
+
+
+def test_submaps_created(replay_result):
+    cfg, pipe, _, _ = replay_result
+    n = int(pipe.state.submaps.num_submaps)
+    assert n >= 1
+    counts = np.asarray(pipe.state.submaps.counts)
+    assert counts[:n].min() > 0
+    # stored submap points carry valid world coordinates
+    s = pipe.state.submaps
+    v = np.asarray(s.slots.valid[0])
+    assert v.sum() == counts[0]
+
+
+def test_step_jit_stable(replay_result):
+    cfg, pipe, _, _ = replay_result
+    assert pipe._step._cache_size() == 1

@@ -1,0 +1,102 @@
+"""Raytrace visibility cleanup vs the intended-bound oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gem_tpu.config import MapConfig
+from gem_tpu.core.state import init_map_state
+from gem_tpu.kernels.raytrace import raytrace_cleanup
+import reference_semantics as ref
+
+
+def _mkstate(cfg, elev, lowest, sensor_z=1.0, start=(0, 0)):
+    s = init_map_state(cfg)
+    return s.replace(
+        elevation=jnp.asarray(elev, jnp.float32),
+        variance=jnp.full((cfg.length, cfg.length), 1e-4),
+        lowest=jnp.asarray(lowest, jnp.float32),
+        sensor_z=jnp.float32(sensor_z),
+        start=jnp.asarray(start, jnp.int32),
+    )
+
+
+def test_phantom_obstacle_deleted():
+    """Sensor sees ground behind a supposed obstacle -> obstacle removed."""
+    L = 33
+    cfg = MapConfig(length=L, resolution=0.2)
+    elev = np.full((L, L), 0.0, np.float32)
+    lowest = np.full((L, L), 100.0, np.float32)   # unseen
+    c = L // 2
+    # phantom wall at geographic row c+5, ground seen behind it (rows c+6..)
+    elev[c + 5, c] = 2.0
+    for r in range(c + 6, L):
+        lowest[r, c] = 0.0                        # geographic-indexed plane
+    traver = np.full((L, L), 1.0, np.float32)
+    traver[c + 5, c] = 0.1                        # obstacle candidate
+    state = _mkstate(cfg, elev, lowest, sensor_z=1.0)
+    out = raytrace_cleanup(state, cfg, jnp.asarray(traver))
+    assert np.asarray(out.elevation)[c + 5, c] == cfg.invalid_elevation
+    # all other cells untouched
+    untouched = np.asarray(out.elevation).copy()
+    untouched[c + 5, c] = 2.0
+    np.testing.assert_array_equal(untouched, elev)
+    # lowest reset to 10 after the pass (gpu_process.cu:1311)
+    assert (np.asarray(out.lowest) == cfg.lowest_reset).all()
+
+
+def test_real_obstacle_survives():
+    """No sight line passes below a real obstacle -> kept."""
+    L = 33
+    cfg = MapConfig(length=L, resolution=0.2)
+    elev = np.full((L, L), 0.0, np.float32)
+    lowest = np.full((L, L), 100.0, np.float32)
+    c = L // 2
+    elev[c + 5, c] = 2.0
+    # behind the obstacle the lowest scans are high (on top of the occluder's
+    # shadow): sight lines stay above the obstacle top
+    for r in range(c + 6, L):
+        lowest[r, c] = 3.0 + 0.2 * (r - c - 6)
+    traver = np.full((L, L), 1.0, np.float32)
+    traver[c + 5, c] = 0.1
+    state = _mkstate(cfg, elev, lowest, sensor_z=1.0)
+    out = raytrace_cleanup(state, cfg, jnp.asarray(traver))
+    assert np.asarray(out.elevation)[c + 5, c] == 2.0
+
+
+def test_matches_oracle_dense_random():
+    L = 25
+    cfg = MapConfig(length=L, resolution=0.2)
+    rng = np.random.default_rng(9)
+    elev = rng.normal(0.0, 0.2, (L, L)).astype(np.float32)
+    lowest = rng.normal(0.0, 0.3, (L, L)).astype(np.float32)
+    unseen = rng.random((L, L)) < 0.4
+    lowest[unseen] = 10.0
+    # a few tall obstacle candidates
+    obs = rng.random((L, L)) < 0.15
+    elev[obs] += rng.uniform(1.0, 3.0, obs.sum())
+    traver = np.where(obs, 0.1, 1.0).astype(np.float32)
+    start = (7, 3)
+    sensor_z = 1.2
+    state = _mkstate(cfg, elev, lowest, sensor_z, start)
+    out = raytrace_cleanup(state, cfg, jnp.asarray(traver))
+    got_deleted = (np.asarray(out.elevation) == cfg.invalid_elevation) & \
+        (elev != cfg.invalid_elevation)
+
+    var = 1e-4
+    agree = 0
+    total = 0
+    for sx in range(L):
+        for sy in range(L):
+            if not obs[sx, sy]:
+                assert not got_deleted[sx, sy]
+                continue
+            bound = ref.raytrace_bound(lowest.reshape(-1), start, L, sensor_z,
+                                       sx, sy)
+            if bound is None:
+                continue
+            want = elev[sx, sy] - 3 * np.sqrt(var) > bound
+            total += 1
+            agree += int(want == got_deleted[sx, sy])
+    # discretisation differs (polar bins vs dense walk): demand >=90% match
+    assert total > 10
+    assert agree / total >= 0.9, (agree, total)
