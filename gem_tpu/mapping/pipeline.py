@@ -228,8 +228,12 @@ class ElevationPipeline:
 
     def __init__(self, cfg: PipelineConfig, fuse_backend: str = "segment"):
         self.cfg = cfg
+        # donate_argnums=0: the previous state dies each frame, so XLA
+        # aliases the big planes/submap buffers in place instead of
+        # reallocating ~100 MB per step (sustained-throughput killer).
         self._step = jax.jit(functools.partial(step, cfg=cfg,
-                                               fuse_backend=fuse_backend))
+                                               fuse_backend=fuse_backend),
+                             donate_argnums=0)
         self.state = init_pipeline_state(cfg)
         self.last_outputs: Optional[StepOutputs] = None
 
