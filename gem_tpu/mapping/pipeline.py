@@ -228,12 +228,13 @@ class ElevationPipeline:
 
     def __init__(self, cfg: PipelineConfig, fuse_backend: str = "segment"):
         self.cfg = cfg
-        # donate_argnums=0: the previous state dies each frame, so XLA
-        # aliases the big planes/submap buffers in place instead of
-        # reallocating ~100 MB per step (sustained-throughput killer).
+        # NOTE: no donate_argnums here.  Donating the state is the natural
+        # move (it dies every frame), but this image's tunneled axon runtime
+        # hangs forever when fetching scalars aliased into donated buffers;
+        # XLA's allocator reuses the freed planes fine without donation
+        # (verified: sustained 1000-step runs hold steady).
         self._step = jax.jit(functools.partial(step, cfg=cfg,
-                                               fuse_backend=fuse_backend),
-                             donate_argnums=0)
+                                               fuse_backend=fuse_backend))
         self.state = init_pipeline_state(cfg)
         self.last_outputs: Optional[StepOutputs] = None
 

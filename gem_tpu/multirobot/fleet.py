@@ -62,7 +62,7 @@ def sharded_fleet_step(cfg: PipelineConfig, mesh: Mesh, axis: str = "robot"):
     robots; no collectives are emitted in the per-frame path (robot
     independence), which is exactly the reference's one-process-per-robot
     layout minus the network."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(axis)
 
@@ -70,7 +70,7 @@ def sharded_fleet_step(cfg: PipelineConfig, mesh: Mesh, axis: str = "robot"):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(spec, spec), out_specs=(spec, spec),
-        check_rep=False)
+        check_vma=False)
     def _step(state, frames):
         return jax.vmap(functools.partial(step, cfg=cfg))(state, frames)
 

@@ -1,0 +1,162 @@
+"""Submap store, loop closure, pyramid, densify."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gem_tpu.config import PipelineConfig, MapConfig, SubmapConfig
+from gem_tpu.core.move import ShedCells
+from gem_tpu.global_map import submaps as sm
+from gem_tpu.global_map.loop_closure import (apply_loop_closure,
+                                             refuse_pair,
+                                             relative_transforms)
+from gem_tpu.global_map.pyramid import build_pyramid, rasterize
+from gem_tpu.global_map.densify import densify_submap
+
+
+def _cfg(**kw):
+    base = dict(map=MapConfig(length=16, resolution=0.5, max_shift_cells=4),
+                submap=SubmapConfig(max_submaps=4, capacity=128,
+                                    keyframe_distance=2.0,
+                                    overlap_radius=25.0))
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def _shed(xs, ys, zs, var=None, n_total=64):
+    n = len(xs)
+    pad = lambda a, fill=0.0: np.concatenate(
+        [np.asarray(a, np.float32), np.full(n_total - n, fill, np.float32)])
+    valid = np.zeros(n_total, bool)
+    valid[:n] = True
+    return ShedCells(
+        x=jnp.asarray(pad(xs)), y=jnp.asarray(pad(ys)), z=jnp.asarray(pad(zs)),
+        variance=jnp.asarray(pad(var if var is not None else [0.01] * n)),
+        color=jnp.zeros(n_total, jnp.int32),
+        intensity=jnp.asarray(pad([1.0] * n)),
+        traver=jnp.asarray(pad([0.9] * n)),
+        valid=jnp.asarray(valid), dropped=jnp.int32(0))
+
+
+def test_append_and_finalize():
+    cfg = _cfg()
+    store = sm.init_store(cfg)
+    store = sm.append_shed(store, _shed([1, 2], [1, 2], [0.5, 0.6]))
+    store = sm.append_shed(store, _shed([3], [3], [0.7]))
+    assert int(store.accum_count) == 3
+    np.testing.assert_allclose(np.asarray(store.accum.z[:3]),
+                               [0.5, 0.6, 0.7])
+    grid = sm.PointBuffer(
+        x=jnp.asarray([9.0]), y=jnp.asarray([9.0]), z=jnp.asarray([1.0]),
+        variance=jnp.asarray([0.01]), intensity=jnp.asarray([0.0]),
+        traver=jnp.asarray([0.5]), color=jnp.zeros(1, jnp.int32),
+        valid=jnp.ones(1, bool))
+    store = sm.finalize_submap(store, grid, np.zeros(7, np.float32))
+    assert int(store.num_submaps) == 1
+    assert int(store.counts[0]) == 4
+    assert int(store.accum_count) == 0
+    assert not bool(store.accum.valid.any())
+
+
+def test_capacity_overflow_tracked():
+    cfg = _cfg(submap=SubmapConfig(max_submaps=2, capacity=4))
+    store = sm.init_store(cfg)
+    store = sm.append_shed(store, _shed(range(10), range(10), range(10)))
+    assert int(store.accum_count) == 4
+    assert int(store.dropped) == 6
+
+
+def test_relative_transforms_identity():
+    poses = np.tile(np.asarray([1.0, 2.0, 0.0, 1, 0, 0, 0], np.float32),
+                    (3, 1))
+    T = np.asarray(relative_transforms(poses, poses))
+    for t in T:
+        np.testing.assert_allclose(t, np.eye(4), atol=1e-6)
+
+
+def test_loop_closure_translates_submaps():
+    cfg = _cfg()
+    store = sm.init_store(cfg)
+    # one submap with a known point
+    grid = sm.PointBuffer(
+        x=jnp.asarray([5.0]), y=jnp.asarray([0.0]), z=jnp.asarray([1.0]),
+        variance=jnp.asarray([0.01]), intensity=jnp.asarray([0.0]),
+        traver=jnp.asarray([0.5]), color=jnp.zeros(1, jnp.int32),
+        valid=jnp.ones(1, bool))
+    pose0 = np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32)
+    store = sm.finalize_submap(store, grid, pose0)
+    store = sm.finalize_submap(store, grid, pose0)
+    # optimisation shifts submap 1 by (+2, 0, 0); submap 0 is the anchor
+    opt = np.stack([pose0, np.asarray([2, 0, 0, 1, 0, 0, 0], np.float32)])
+    new, stats = apply_loop_closure(store, cfg, opt)
+    assert stats["n_corrected"] == 2
+    np.testing.assert_allclose(np.asarray(new.slots.x[0, 0]), 5.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.slots.x[1, 0]), 7.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.poses[1, 0]), 2.0)
+
+
+def test_refuse_pair_fuses_colocated_cells():
+    C = 16
+    mk = lambda xs, zs, vs: sm.PointBuffer(
+        x=jnp.asarray(np.resize(np.asarray(xs, np.float32), C)),
+        y=jnp.zeros(C), z=jnp.asarray(np.resize(np.asarray(zs, np.float32), C)),
+        variance=jnp.asarray(np.resize(np.asarray(vs, np.float32), C)),
+        intensity=jnp.zeros(C), traver=jnp.zeros(C),
+        color=jnp.zeros(C, jnp.int32),
+        valid=jnp.asarray(np.arange(C) < len(xs)))
+    a = mk([1.0, 3.0], [0.0, 1.0], [0.1, 0.2])
+    b = mk([1.0, 9.0], [2.0, 5.0], [0.3, 0.1])
+    a2, b2, nf = refuse_pair(a, b, 0.5)
+    assert int(nf) == 1
+    # intended Kalman: e = (va*hb + vb*ha)/(va+vb) = (.1*2 + .3*0)/.4 = 0.5
+    assert float(a2.z[0]) == pytest.approx(0.5, rel=1e-5)
+    assert float(b2.z[0]) == pytest.approx(0.5, rel=1e-5)
+    assert float(a2.variance[0]) == pytest.approx(0.075, rel=1e-5)
+    # unmatched points untouched
+    assert float(a2.z[1]) == 1.0
+    assert float(b2.z[1]) == 5.0
+
+
+def test_pyramid_occupancy_and_pooling():
+    xs = jnp.asarray([0.1, 0.9, 3.5])
+    ys = jnp.asarray([0.1, 0.1, 3.5])
+    zs = jnp.asarray([0.1, 0.1, 1.5])
+    trav = jnp.asarray([0.9, 0.9, 0.1])
+    valid = jnp.ones(3, bool)
+    colors = jnp.asarray([0xFF0000, 0x00FF00, 0x0000FF], jnp.int32)
+    road, obs = build_pyramid(xs, ys, zs, colors, trav, valid,
+                              origin=(0, 0, 0), base_resolution=0.5,
+                              shape=(8, 8, 4), travers_threshold=0.5,
+                              levels=2, outlier_filter=False)
+    r0 = np.asarray(road[0].occupancy)
+    assert r0[0, 0, 0] and r0[1, 0, 0]
+    assert np.asarray(obs[0].occupancy)[7, 7, 3]
+    assert not r0[7, 7, 3]
+    # pooled level covers the same world region at half resolution
+    r1 = np.asarray(road[1].occupancy)
+    assert r1[0, 0, 0]
+    assert road[1].resolution == 1.0
+
+
+def test_densify_fills_holes():
+    C = 256
+    rng = np.random.default_rng(0)
+    n = 60
+    xs = rng.uniform(0, 5, n).astype(np.float32)
+    ys = rng.uniform(0, 5, n).astype(np.float32)
+    zs = (0.2 * xs).astype(np.float32)
+    buf = sm.PointBuffer(
+        x=jnp.asarray(np.resize(xs, C)), y=jnp.asarray(np.resize(ys, C)),
+        z=jnp.asarray(np.resize(zs, C)),
+        variance=jnp.full((C,), 0.01), intensity=jnp.zeros(C),
+        traver=jnp.full((C,), 0.9), color=jnp.zeros(C, jnp.int32),
+        valid=jnp.asarray(np.arange(C) < n))
+    out = densify_submap(buf, base_resolution=0.5, upsample=2,
+                         grid_size=32, origin=(0.0, 0.0))
+    valid = np.asarray(out["valid"])
+    assert valid.sum() > n  # denser than the input
+    z = np.asarray(out["z"])[valid]
+    x = np.asarray(out["x"])[valid]
+    # interpolated surface tracks the plane
+    assert np.median(np.abs(z - 0.2 * x)) < 0.15

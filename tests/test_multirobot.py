@@ -1,0 +1,72 @@
+"""Fleet scale-out: vmap batching + shard_map over the virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gem_tpu.config import (BodyFilterConfig, MapConfig, PipelineConfig,
+                            SensorConfig, SubmapConfig)
+from gem_tpu.io.replay import synthetic_frames
+from gem_tpu.multirobot.fleet import (fleet_step, make_fleet_state, make_mesh,
+                                      shard_fleet, sharded_fleet_step)
+
+
+def _tiny_cfg():
+    return PipelineConfig(
+        map=MapConfig(length=16, resolution=0.25, max_shift_cells=4),
+        sensor=SensorConfig(model="laser"),
+        body_filter=BodyFilterConfig(mode="none"),
+        submap=SubmapConfig(max_submaps=2, capacity=256,
+                            keyframe_distance=3.0),
+        max_points=128,
+    )
+
+
+def _stack_frames(cfg, n_robots):
+    frames = []
+    for r in range(n_robots):
+        f, _, _ = next(iter(synthetic_frames(cfg, 1, n_points=64, seed=r)))
+        frames.append(f)
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *frames)
+
+
+def test_vmap_fleet_matches_individual():
+    cfg = _tiny_cfg()
+    n = 4
+    state = make_fleet_state(cfg, n)
+    frames = _stack_frames(cfg, n)
+    new_state, outs = fleet_step(state, frames, cfg)
+    # each robot fused its own (different-seed) point count
+    pv = np.asarray(outs.metrics["points_valid"])
+    assert pv.shape == (n,)
+    assert (pv > 0).all()
+
+    # robot 0 must match the unbatched pipeline exactly
+    from gem_tpu.mapping.pipeline import init_pipeline_state, step
+    s0 = init_pipeline_state(cfg)
+    f0 = jax.tree.map(lambda x: x[0], frames)
+    s0n, o0 = step(s0, f0, cfg)
+    np.testing.assert_allclose(np.asarray(new_state.map.elevation[0]),
+                               np.asarray(s0n.map.elevation), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_sharded_fleet_runs_on_mesh():
+    cfg = _tiny_cfg()
+    mesh = make_mesh(8)
+    state = shard_fleet(make_fleet_state(cfg, 8), mesh)
+    frames = shard_fleet(_stack_frames(cfg, 8), mesh)
+    step_fn = sharded_fleet_step(cfg, mesh)
+    new_state, outs = step_fn(state, frames)
+    jax.block_until_ready(new_state)
+    pv = np.asarray(outs.metrics["points_valid"])
+    assert pv.shape == (8,)
+    assert (pv > 0).all()
+    # sharded result matches vmap result
+    ref_state, _ = fleet_step(jax.device_get(state), jax.device_get(frames),
+                              cfg)
+    np.testing.assert_allclose(np.asarray(new_state.map.elevation),
+                               np.asarray(ref_state.map.elevation),
+                               rtol=1e-5)
