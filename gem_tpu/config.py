@@ -171,6 +171,19 @@ class SubmapConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PreFilterConfig:
+    """Host-side voxel-grid pre-filter, the reference's filter chains
+    (filter_kitti.launch: leaf 0.2 m, crop x/y ±40 m z ±25 m;
+    filter.launch: leaf 0.1 m, x ±10 m).  leaf <= 0 disables.  Runs in the
+    native C++ loader (gem_tpu/native) before padding."""
+
+    leaf: float = 0.0
+    crop_x: Tuple[float, float] = (-1e9, 1e9)
+    crop_y: Tuple[float, float] = (-1e9, 1e9)
+    crop_z: Tuple[float, float] = (-1e9, 1e9)
+
+
+@dataclasses.dataclass(frozen=True)
 class MotionConfig:
     covariance_scale: float = 1.0
     ignore_robot_motion_updates: bool = False
@@ -206,6 +219,8 @@ class PipelineConfig:
     sensor: SensorConfig = dataclasses.field(default_factory=SensorConfig)
     body_filter: BodyFilterConfig = dataclasses.field(default_factory=BodyFilterConfig)
     submap: SubmapConfig = dataclasses.field(default_factory=SubmapConfig)
+    prefilter: PreFilterConfig = dataclasses.field(
+        default_factory=PreFilterConfig)
     motion: MotionConfig = dataclasses.field(default_factory=MotionConfig)
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     robot: RobotConfig = dataclasses.field(default_factory=RobotConfig)
@@ -267,6 +282,9 @@ def kitti_config(**overrides) -> PipelineConfig:
         map=MapConfig(length=75, resolution=0.2),
         sensor=SensorConfig(model="laser", ignore_points_above=0.8,
                             ignore_points_below=-5.0),
+        prefilter=PreFilterConfig(leaf=0.2, crop_x=(-40.0, 40.0),
+                                  crop_y=(-40.0, 40.0),
+                                  crop_z=(-25.0, 25.0)),
     )
     return cfg.replace(**overrides) if overrides else cfg
 
@@ -277,6 +295,7 @@ def yq_config(**overrides) -> PipelineConfig:
         map=MapConfig(length=120, resolution=0.1),
         sensor=SensorConfig(model="laser", ignore_points_above=0.8,
                             ignore_points_below=-5.0),
+        prefilter=PreFilterConfig(leaf=0.1, crop_x=(-10.0, 10.0)),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

@@ -47,11 +47,19 @@ def _frames(cfg, args):
                                             seed=args.seed):
             yield frame
     else:
+        from gem_tpu.native import FramePrefetcher
+
         paths = sorted(glob.glob(os.path.join(args.dataset, "*.npz")))
         if not paths:
             sys.exit(f"no .npz frames under {args.dataset}")
-        for p in paths[: args.frames or None]:
-            yield load_npz_frame(cfg, p)
+        paths = paths[: args.frames or None]
+        # native background loader overlaps file IO with device compute
+        pf = FramePrefetcher(paths, ring=4)
+        try:
+            for i in range(len(pf)):
+                yield load_npz_frame(cfg, pf[i])
+        finally:
+            pf.close()
 
 
 def cmd_run(args):

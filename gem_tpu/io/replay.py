@@ -148,7 +148,18 @@ def synthetic_frames(cfg: PipelineConfig, n_frames: int,
 
 def pad_frame(cfg: PipelineConfig, points, intensity=None, colors=None,
               transform=None, track_position=None, **kw) -> Frame:
-    """Build a Frame from ragged numpy inputs, padding to cfg.max_points."""
+    """Build a Frame from ragged numpy inputs, padding to cfg.max_points.
+
+    When cfg.prefilter.leaf > 0 the native voxel-grid pre-filter runs first
+    (the reference's filter chain precedes colorization, so it is skipped
+    when per-point colors are already attached)."""
+    pf = cfg.prefilter
+    if pf.leaf > 0 and colors is None:
+        from gem_tpu import native
+
+        points, intensity = native.voxel_filter(
+            points, intensity, leaf=pf.leaf,
+            crop=(pf.crop_x, pf.crop_y, pf.crop_z))
     P = cfg.max_points
     n = min(len(points), P)
     pts = np.zeros((P, 3), np.float32)
@@ -179,15 +190,17 @@ def pad_frame(cfg: PipelineConfig, points, intensity=None, colors=None,
                  track_position=track, colors=col, **defaults)
 
 
-def load_npz_frame(cfg: PipelineConfig, path: str) -> Frame:
-    """Frame from one npz record.
+def load_npz_frame(cfg: PipelineConfig, path) -> Frame:
+    """Frame from one npz record (a path, or raw bytes from a prefetcher).
 
     Schema (KITTI/YQ converter output): points (N,3) f32 sensor frame,
     intensity (N,), optional colors (N,) packed rgb, transform (4,4)
     sensor->map, track_position (3,), optional pose_quat (4,),
     pose_cov (6,6), image (H,W,3) u8.
     """
-    d = np.load(path)
+    import io as _io
+
+    d = np.load(_io.BytesIO(path) if isinstance(path, bytes) else path)
     kw = {}
     if "pose_quat" in d:
         kw["pose_quat"] = jnp.asarray(d["pose_quat"], jnp.float32)
