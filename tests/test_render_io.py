@@ -82,7 +82,8 @@ def test_checkpoint_resume_exact(tmp_path):
 
 
 def test_npz_frame_round_trip(tmp_path):
-    cfg = kitti_config(max_points=256)
+    from gem_tpu.config import PreFilterConfig
+    cfg = kitti_config(max_points=256, prefilter=PreFilterConfig())
     pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
     path = os.path.join(tmp_path, "frame.npz")
     np.savez(path, points=pts, intensity=np.ones(100, np.float32),
@@ -95,7 +96,8 @@ def test_npz_frame_round_trip(tmp_path):
 
 
 def test_pad_frame_truncates_with_mask():
-    cfg = kitti_config(max_points=64)
+    from gem_tpu.config import PreFilterConfig
+    cfg = kitti_config(max_points=64, prefilter=PreFilterConfig())
     pts = np.zeros((100, 3), np.float32)
     frame = pad_frame(cfg, pts)
     assert frame.points.shape == (64, 3)
