@@ -62,6 +62,55 @@ def _frames(cfg, args):
             pf.close()
 
 
+def _global_cloud(pipe, cfg):
+    """Global cloud = finalized submaps + accumulator + live grid
+    (savingMap, src/ElevationMapping.cpp:430-455)."""
+    import numpy as np
+
+    from gem_tpu.render import grid_point_cloud
+
+    s = pipe.state.submaps
+    parts = []
+    k = int(s.num_submaps)
+    K = s.counts.shape[0]
+    for i in range(min(k, K)):
+        parts.append({f: np.asarray(getattr(s.slots, f)[i])
+                      for f in ("x", "y", "z", "color", "intensity",
+                                "variance", "traver", "valid")})
+    parts.append({f: np.asarray(getattr(s.accum, f))
+                  for f in ("x", "y", "z", "color", "intensity",
+                            "variance", "traver", "valid")})
+    pc = grid_point_cloud(pipe.state.map, cfg.map,
+                          pipe.last_outputs.features.traver
+                          if pipe.last_outputs else None)
+    parts.append({"x": np.asarray(pc["x"]), "y": np.asarray(pc["y"]),
+                  "z": np.asarray(pc["z"]),
+                  "color": np.asarray(pipe.state.map.color).reshape(-1),
+                  "intensity": np.asarray(pc["intensity"]),
+                  "variance": np.asarray(pc["variance"]),
+                  "traver": np.asarray(pc["traver"]),
+                  "valid": np.asarray(pc["valid"])})
+    return {f: np.concatenate([p[f] for p in parts]) for f in parts[0]}
+
+
+def _save_global_pcd(pipe, cfg, path, dedup: bool = True):
+    import numpy as np
+
+    from gem_tpu import native
+    from gem_tpu.io.pcd import save_pcd
+
+    cat = _global_cloud(pipe, cfg)
+    if dedup:
+        # min-variance per cell via the native spatial hash (the reference
+        # dedups through its unordered_map on insert)
+        kept = native.dedup_cells(cat["x"], cat["y"], cat["variance"],
+                                  cat["valid"], cfg.map.resolution)
+        cat = {k: v[kept] for k, v in cat.items()}
+    return save_pcd(path, cat["x"], cat["y"], cat["z"], cat["color"],
+                    cat["intensity"], cat["variance"], cat["traver"],
+                    valid=cat["valid"])
+
+
 def cmd_run(args):
     import numpy as np
     import jax
@@ -69,7 +118,7 @@ def cmd_run(args):
     from gem_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from gem_tpu.io.pcd import save_pcd
     from gem_tpu.mapping.pipeline import ElevationPipeline
-    from gem_tpu.render import grid_point_cloud
+    from gem_tpu.utils.observability import MetricsLogger, trace
 
     cfg = _build_config(args)
     pipe = ElevationPipeline(cfg, fuse_backend=args.fuse_backend)
@@ -78,52 +127,77 @@ def cmd_run(args):
         print(f"resumed from {args.resume} "
               f"(frame {int(pipe.state.frame_idx)})")
 
+    metrics_log = MetricsLogger(args.metrics_out)
     t0 = time.time()
     n = 0
-    for frame in _frames(cfg, args):
-        out = pipe.process(frame)
-        n += 1
-        if args.log_every and n % args.log_every == 0:
-            m = jax.tree.map(lambda x: np.asarray(x).tolist(), out.metrics)
-            print(f"[{n}] {json.dumps(m)}", flush=True)
-    jax.block_until_ready(pipe.state.map.elevation)
+    with trace(args.profile):
+        for frame in _frames(cfg, args):
+            out = pipe.process(frame)
+            n += 1
+            if args.log_every and n % args.log_every == 0:
+                m = jax.tree.map(lambda x: np.asarray(x).tolist(),
+                                 out.metrics)
+                print(f"[{n}] {json.dumps(m)}", flush=True)
+                metrics_log.log(n, out.metrics)
+        jax.block_until_ready(pipe.state.map.elevation)
+    metrics_log.close()
     dt = time.time() - t0
     print(f"processed {n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} Hz), "
           f"submaps={int(pipe.state.submaps.num_submaps)}")
+
+    if args.keyframes or args.loop_demo:
+        from gem_tpu.global_map.loop_closure import apply_loop_closure
+        from gem_tpu.msgs import KeyframesRecord
+
+        if args.save_map:
+            npts = _save_global_pcd(pipe, cfg,
+                                    args.save_map + ".before_loop.pcd")
+            print(f"pre-loop map ({npts} points) -> "
+                  f"{args.save_map}.before_loop.pcd")
+        if args.keyframes:
+            rec = KeyframesRecord.load(args.keyframes)
+            opt_poses = rec.poses
+        else:
+            # demo: simulate the SLAM optimiser correcting accumulated drift
+            k = int(pipe.state.submaps.num_submaps)
+            opt_poses = np.asarray(pipe.state.submaps.poses[:k])
+            drift = np.linspace(0, 1, max(k, 1))[:, None] * \
+                np.asarray([0.5, -0.3, 0.05, 0, 0, 0, 0], np.float32)
+            opt_poses = opt_poses + drift.astype(np.float32)
+        new_submaps, stats = apply_loop_closure(pipe.state.submaps, cfg,
+                                                opt_poses)
+        pipe.state = pipe.state.replace(submaps=new_submaps)
+        print(f"loop closure: {json.dumps(stats)}")
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, pipe.state)
         print(f"checkpoint -> {args.checkpoint}")
 
     if args.save_map:
-        # global cloud = all finalized submaps + accumulator + live grid
-        # (savingMap, src/ElevationMapping.cpp:430-455)
-        s = pipe.state.submaps
-        parts = []
-        k = int(s.num_submaps)
-        K = s.counts.shape[0]
-        for i in range(min(k, K)):
-            parts.append({f: np.asarray(getattr(s.slots, f)[i])
-                          for f in ("x", "y", "z", "color", "intensity",
-                                    "variance", "traver", "valid")})
-        parts.append({f: np.asarray(getattr(s.accum, f))
-                      for f in ("x", "y", "z", "color", "intensity",
-                                "variance", "traver", "valid")})
-        pc = grid_point_cloud(pipe.state.map, cfg.map,
-                              pipe.last_outputs.features.traver
-                              if pipe.last_outputs else None)
-        parts.append({"x": np.asarray(pc["x"]), "y": np.asarray(pc["y"]),
-                      "z": np.asarray(pc["z"]),
-                      "color": np.asarray(pipe.state.map.color).reshape(-1),
-                      "intensity": np.asarray(pc["intensity"]),
-                      "variance": np.asarray(pc["variance"]),
-                      "traver": np.asarray(pc["traver"]),
-                      "valid": np.asarray(pc["valid"])})
-        cat = {f: np.concatenate([p[f] for p in parts]) for f in parts[0]}
-        npts = save_pcd(args.save_map, cat["x"], cat["y"], cat["z"],
-                        cat["color"], cat["intensity"], cat["variance"],
-                        cat["traver"], valid=cat["valid"])
+        npts = _save_global_pcd(pipe, cfg, args.save_map)
         print(f"global map ({npts} points) -> {args.save_map}")
+
+    if args.save_ortho:
+        from gem_tpu.render import orthomosaic
+        from gem_tpu.utils.image import write_png
+
+        traver = pipe.last_outputs.features.traver if pipe.last_outputs \
+            else None
+        img = np.asarray(orthomosaic(pipe.state.map, cfg.map, traver))
+        write_png(args.save_ortho, img)
+        print(f"orthomosaic -> {args.save_ortho}")
+
+    if args.publish_submaps:
+        from gem_tpu.msgs import submap_record_from_store
+
+        os.makedirs(args.publish_submaps, exist_ok=True)
+        s = pipe.state.submaps
+        for i in range(min(int(s.num_submaps), s.counts.shape[0])):
+            rec = submap_record_from_store(s, i,
+                                           robot_id=cfg.robot.robot_id)
+            rec.save(os.path.join(args.publish_submaps, f"submap_{i}.npz"))
+        print(f"{int(s.num_submaps)} submap records -> "
+              f"{args.publish_submaps}/")
 
     if args.save_submaps:
         # savingSubMap (src/ElevationMapping.cpp:461-476)
@@ -178,6 +252,18 @@ def main(argv=None):
     rp.add_argument("--resume", help="resume from a state npz")
     rp.add_argument("--save-map", help="write global cloud PCD")
     rp.add_argument("--save-submaps", help="write per-submap PCDs to dir")
+    rp.add_argument("--save-ortho", help="write orthomosaic PNG")
+    rp.add_argument("--publish-submaps",
+                    help="write SubMapRecord npz files to dir (the dislam "
+                         "SubMap publication)")
+    rp.add_argument("--keyframes",
+                    help="KeyframesRecord npz with optimised poses; applies "
+                         "the loop-closure re-stitch after replay")
+    rp.add_argument("--loop-demo", action="store_true",
+                    help="simulate a loop closure (drift-corrected poses) "
+                         "and save before/after maps")
+    rp.add_argument("--metrics-out", help="JSONL metrics stream path")
+    rp.add_argument("--profile", help="jax.profiler trace directory")
     rp.set_defaults(fn=cmd_run)
 
     ip = sub.add_parser("info", help="environment + config dump")

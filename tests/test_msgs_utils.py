@@ -1,0 +1,111 @@
+"""Message records, image writers, observability helpers."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from gem_tpu.msgs import (DiSCORecord, InterPRRecord, InterPRsRecord,
+                          KeyframesRecord, SubMapRecord,
+                          submap_record_from_store)
+from gem_tpu.utils.image import read_png, write_png, write_ppm
+from gem_tpu.utils.observability import MetricsLogger, PhaseTimer
+
+
+def test_submap_record_round_trip(tmp_path):
+    rec = SubMapRecord(
+        points=np.random.rand(10, 3).astype(np.float32),
+        colors=np.arange(10, dtype=np.int32),
+        variance=np.full(10, 0.1, np.float32),
+        intensity=np.zeros(10, np.float32),
+        traver=np.full(10, 0.5, np.float32),
+        pose=np.asarray([1, 2, 3, 1, 0, 0, 0], np.float32),
+        ortho_image=np.zeros((8, 8, 3), np.uint8),
+        robot_id=3, stamp=12.5)
+    p = os.path.join(tmp_path, "sm.npz")
+    rec.save(p)
+    r2 = SubMapRecord.load(p)
+    np.testing.assert_allclose(r2.points, rec.points)
+    assert r2.robot_id == 3 and r2.stamp == 12.5
+    assert r2.ortho_image.shape == (8, 8, 3)
+
+
+def test_keyframes_record(tmp_path):
+    rec = KeyframesRecord(ids=np.arange(4, dtype=np.int32),
+                          poses=np.random.rand(4, 7).astype(np.float32))
+    p = os.path.join(tmp_path, "kf.npz")
+    rec.save(p)
+    r2 = KeyframesRecord.load(p)
+    np.testing.assert_allclose(r2.poses, rec.poses)
+
+
+def test_disco_and_interpr(tmp_path):
+    d = DiSCORecord(signature=np.ones(16, np.float32),
+                    fft_real=np.zeros(8, np.float32),
+                    fft_imag=np.zeros(8, np.float32),
+                    pose=np.zeros(7, np.float32))
+    pd = os.path.join(tmp_path, "d.npz")
+    d.save(pd)
+    assert DiSCORecord.load(pd).signature.sum() == 16
+
+    batch = InterPRsRecord(seq=7, items=[
+        InterPRRecord(id0=1, id1=2, is_aerial=False, is_checked=True,
+                      id0_pose=np.zeros(7, np.float32),
+                      factor_pose=np.ones(7, np.float32),
+                      keyframe_points=np.zeros((5, 3), np.float32)),
+        InterPRRecord(id0=3, id1=4, is_aerial=True, is_checked=False,
+                      id0_pose=np.ones(7, np.float32),
+                      factor_pose=np.zeros(7, np.float32)),
+    ])
+    pp = os.path.join(tmp_path, "pr.npz")
+    batch.save(pp)
+    r2 = InterPRsRecord.load(pp)
+    assert r2.seq == 7 and len(r2.items) == 2
+    assert r2.items[0].keyframe_points.shape == (5, 3)
+    assert r2.items[1].keyframe_points is None
+    assert r2.items[1].is_aerial
+
+
+def test_submap_record_from_store():
+    from gem_tpu.config import PipelineConfig, MapConfig, SubmapConfig
+    from gem_tpu.global_map import submaps as sm
+
+    cfg = PipelineConfig(map=MapConfig(length=8, resolution=0.5),
+                         submap=SubmapConfig(max_submaps=2, capacity=16))
+    store = sm.init_store(cfg)
+    grid = sm.PointBuffer(
+        x=jnp.asarray([1.0, 2.0]), y=jnp.asarray([3.0, 4.0]),
+        z=jnp.asarray([0.5, 0.6]), variance=jnp.asarray([0.1, 0.2]),
+        intensity=jnp.zeros(2), traver=jnp.asarray([0.9, 0.8]),
+        color=jnp.zeros(2, jnp.int32), valid=jnp.ones(2, bool))
+    store = sm.finalize_submap(store, grid,
+                               np.asarray([1, 2, 0, 1, 0, 0, 0], np.float32))
+    rec = submap_record_from_store(store, 0)
+    assert rec.points.shape == (2, 3)
+    np.testing.assert_allclose(rec.pose[:2], [1, 2])
+
+
+def test_png_round_trip(tmp_path):
+    img = (np.arange(12 * 16 * 3).reshape(12, 16, 3) % 256).astype(np.uint8)
+    p = os.path.join(tmp_path, "t.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+    write_ppm(os.path.join(tmp_path, "t.ppm"), img)
+
+
+def test_phase_timer_and_metrics(tmp_path):
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+
+    p = os.path.join(tmp_path, "m.jsonl")
+    log = MetricsLogger(p)
+    log.log(1, {"x": np.int32(5), "v": np.asarray([1, 2])})
+    log.close()
+    import json
+    rec = json.loads(open(p).read().strip())
+    assert rec["x"] == 5 and rec["v"] == [1, 2]
