@@ -30,12 +30,14 @@ def _time_steps(pipe_step, state, frames, warmup=2, iters=10):
     for i in range(warmup):
         state, out = pipe_step(state, frames[i % len(frames)])
     jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, out = pipe_step(state, frames[i % len(frames)])
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, state
+    best = float("inf")
+    for _ in range(3):  # min-of-trials: robust to episodic relay contention
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, out = pipe_step(state, frames[i % len(frames)])
+        jax.block_until_ready(state)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, state
 
 
 def main():

@@ -13,6 +13,8 @@ dense ops.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from gem_tpu.global_map.submaps import PointBuffer
@@ -65,7 +67,7 @@ def densify_submap(buf: PointBuffer, *, base_resolution: float,
     sigma2 = (radius_cells / 2.0) ** 2
     for i in range(-radius_cells, radius_cells + 1):
         for j in range(-radius_cells, radius_cells + 1):
-            wgt = float(jnp.exp(-(i * i + j * j) / (2 * sigma2)))
+            wgt = math.exp(-(i * i + j * j) / (2 * sigma2))
             n = n + wgt * jnp.roll(n0, (i, j), axis=(0, 1))
             z = z + wgt * jnp.roll(z0, (i, j), axis=(0, 1))
             t = t + wgt * jnp.roll(t0, (i, j), axis=(0, 1))

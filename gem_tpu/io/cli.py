@@ -13,6 +13,7 @@ flags, dataset replay instead of bags.
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import json
 import os
@@ -35,6 +36,10 @@ def _build_config(args):
         cfg = C.PipelineConfig()
     if args.max_points:
         cfg = cfg.replace(max_points=args.max_points)
+    if getattr(args, "sensor", None):
+        from gem_tpu.sensors.catalog import sensor_preset
+
+        cfg = cfg.replace(sensor=sensor_preset(args.sensor))
     return cfg
 
 
@@ -200,18 +205,41 @@ def cmd_run(args):
               f"{args.publish_submaps}/")
 
     if args.save_submaps:
-        # savingSubMap (src/ElevationMapping.cpp:461-476)
+        # savingSubMap (src/ElevationMapping.cpp:461-476); --dense applies
+        # the MLS-equivalent surface upsample (denseMappingSignal parity)
+        import jax as _jax
+
         os.makedirs(args.save_submaps, exist_ok=True)
         s = pipe.state.submaps
+        dense_fn = None
+        if args.dense:
+            from gem_tpu.global_map.densify import densify_submap
+
+            dense_fn = _jax.jit(functools.partial(
+                densify_submap, base_resolution=cfg.map.resolution,
+                upsample=2, grid_size=256))
         for i in range(min(int(s.num_submaps), s.counts.shape[0])):
             path = os.path.join(args.save_submaps, f"{i}.pcd")
-            save_pcd(path, np.asarray(s.slots.x[i]), np.asarray(s.slots.y[i]),
-                     np.asarray(s.slots.z[i]), np.asarray(s.slots.color[i]),
-                     np.asarray(s.slots.intensity[i]),
-                     np.asarray(s.slots.variance[i]),
-                     np.asarray(s.slots.traver[i]),
-                     valid=np.asarray(s.slots.valid[i]))
-        print(f"{int(s.num_submaps)} submaps -> {args.save_submaps}/")
+            if dense_fn is not None:
+                buf = jax.tree.map(lambda a: a[i], s.slots)
+                d = dense_fn(buf)
+                save_pcd(path, np.asarray(d["x"]), np.asarray(d["y"]),
+                         np.asarray(d["z"]), np.asarray(d["color"]),
+                         np.zeros_like(np.asarray(d["z"])),
+                         np.asarray(d["variance"]), np.asarray(d["traver"]),
+                         valid=np.asarray(d["valid"]))
+            else:
+                save_pcd(path, np.asarray(s.slots.x[i]),
+                         np.asarray(s.slots.y[i]),
+                         np.asarray(s.slots.z[i]),
+                         np.asarray(s.slots.color[i]),
+                         np.asarray(s.slots.intensity[i]),
+                         np.asarray(s.slots.variance[i]),
+                         np.asarray(s.slots.traver[i]),
+                         valid=np.asarray(s.slots.valid[i]))
+        print(f"{int(s.num_submaps)} submaps"
+              f"{' (densified)' if args.dense else ''} -> "
+              f"{args.save_submaps}/")
     return 0
 
 
@@ -235,6 +263,9 @@ def main(argv=None):
         p.add_argument("--preset", default="kitti",
                        choices=["kitti", "yq", "benchmark", "default"])
         p.add_argument("--max-points", type=int, default=0)
+        p.add_argument("--sensor",
+                       help="sensor model preset (velodyne_vlp16, kinect, "
+                            "realsense_d435, aslam_stereo, perfect, ...)")
 
     rp = sub.add_parser("run", help="replay a dataset through the pipeline")
     common(rp)
@@ -252,6 +283,9 @@ def main(argv=None):
     rp.add_argument("--resume", help="resume from a state npz")
     rp.add_argument("--save-map", help="write global cloud PCD")
     rp.add_argument("--save-submaps", help="write per-submap PCDs to dir")
+    rp.add_argument("--dense", action="store_true",
+                    help="densify submaps on export (MLS-equivalent "
+                         "surface upsample; the dense_mapping signal)")
     rp.add_argument("--save-ortho", help="write orthomosaic PNG")
     rp.add_argument("--publish-submaps",
                     help="write SubMapRecord npz files to dir (the dislam "
