@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--length", type=int, default=0)
     ap.add_argument("--points", type=int, default=0)
+    ap.add_argument("--fuse-backend", default="pallas",
+                    choices=["segment", "sort", "pallas"])
     args = ap.parse_args()
 
     import functools
@@ -72,7 +74,9 @@ def main():
         frames.append(jax.device_put(frame))
     jax.block_until_ready(frames)
 
-    step_fn = jax.jit(functools.partial(step, cfg=cfg))
+    step_fn = jax.jit(functools.partial(step, cfg=cfg,
+                                        fuse_backend=args.fuse_backend))
+    detail["fuse_backend"] = args.fuse_backend
     t_compile0 = time.perf_counter()
     s2, _ = step_fn(state, frames[0])
     jax.block_until_ready(s2)

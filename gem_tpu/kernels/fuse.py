@@ -48,6 +48,12 @@ _WEIGHT_EPS = 1e-9  # zero-variance (perfect-sensor) points dominate finitely
 
 def fuse(state: MapState, cfg: PipelineConfig, batch: PointBatch,
          backend: str = "segment") -> MapState:
+    """backend: "segment" (XLA segment ops), "sort" (shared-sort scan
+    reductions), or "pallas" (fused MXU/VPU segment-stats kernel,
+    kernels/pallas_scatter.py)."""
+    if backend in ("pallas", "pallas_interpret"):
+        return fuse_pallas(state, cfg, batch,
+                           interpret=backend == "pallas_interpret")
     L = cfg.map.length
     mcfg = cfg.map
     ncell = L * L
@@ -133,6 +139,128 @@ def fuse(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     color_update = jnp.isfinite(v_c) & (init_path | kalman_path
                                         | overwrite_path)
     new_color = jnp.where(color_update, best_color,
+                          state.color.reshape(-1))
+    new_intensity = jnp.where(color_update, best_intensity,
+                              state.intensity.reshape(-1))
+
+    return state.replace(
+        elevation=new_elev.reshape(L, L),
+        variance=new_var.reshape(L, L),
+        color=new_color.reshape(L, L),
+        intensity=new_intensity.reshape(L, L),
+    )
+
+
+def fuse_pallas(state: MapState, cfg: PipelineConfig, batch: PointBatch,
+                interpret: bool = False) -> MapState:
+    """Identical semantics to fuse(), reductions via the fused Pallas
+    segment-stats kernel: one shared sort, then four kernel passes
+    (anchor max -> inlier sums/argmax stats -> outlier/color var mins ->
+    color payload mins) of dense MXU/VPU work — no XLA scatter anywhere.
+    """
+    from gem_tpu.kernels.pallas_scatter import (pad_sort,
+                                                segment_stats_sorted)
+
+    L = cfg.map.length
+    mcfg = cfg.map
+    ncell = L * L
+
+    elev0 = state.elevation.reshape(-1)
+    var0 = state.variance.reshape(-1)
+    empty = elev0 == mcfg.invalid_elevation
+    var0c = jnp.maximum(var0, mcfg.min_variance)
+
+    has_color = (((batch.color >> 16) & 0xFF) * ((batch.color >> 8) & 0xFF)
+                 * (batch.color & 0xFF) != 0) & (batch.intensity != 0)
+    ids = jnp.where(batch.valid, batch.cell, ncell)
+    cols = jnp.stack([
+        batch.height,
+        batch.variance,
+        batch.color.astype(jnp.float32),      # packed rgb < 2^24: f32-exact
+        batch.intensity,
+        has_color.astype(jnp.float32),
+    ])
+    ids_s, cols_s = pad_sort(ids, cols, ncell)
+    h, v, color_f, inten, hascol = cols_s
+    valid = ids_s < ncell
+    hascol = hascol > 0.5
+    cidx = jnp.minimum(ids_s, ncell - 1)
+    dummy = jnp.zeros((1, ids_s.shape[0]), jnp.float32)
+
+    stats = lambda sv, mv, xv: segment_stats_sorted(
+        ids_s, sv, mv, xv, ncell, interpret=interpret)
+
+    # --- pass 1: anchor candidates -----------------------------------------
+    _, _, xs, _ = stats(dummy, dummy, jnp.where(valid, h, -jnp.inf)[None])
+    h_max = xs[0]
+    any_candidate = jnp.isfinite(h_max)
+    p_is_argmax = valid & (h == h_max[cidx])
+
+    # --- pass 1b: v(argmax) fixes the empty-cell anchor variance -----------
+    anchor_elev = jnp.where(empty, h_max, elev0)
+    w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
+    _, ms0, _, _ = stats(dummy,
+                         jnp.where(p_is_argmax, v, jnp.inf)[None], dummy)
+    v_argmax = ms0[0]
+    anchor_var = jnp.where(empty, jnp.maximum(v_argmax, mcfg.min_variance),
+                           var0c)
+    a_var = anchor_var[cidx]
+    md = jnp.abs(h - anchor_elev[cidx]) / jnp.sqrt(
+        jnp.where(jnp.isfinite(a_var), a_var, 1.0))
+    inlier = valid & (md <= mcfg.mahalanobis_threshold)
+    out_mask = valid & ~inlier
+
+    ss, _, xs2, _ = stats(
+        jnp.stack([jnp.where(inlier, w, 0.0),
+                   jnp.where(inlier, w * h, 0.0)]),
+        dummy,
+        jnp.where(out_mask, h, -jnp.inf)[None])
+    W, WH = ss[0], ss[1]
+    h_max_out = xs2[0]
+    any_inlier = W > 0.0
+    V_star = 1.0 / jnp.maximum(W, _WEIGHT_EPS)
+    H_star = WH * V_star
+
+    init_path = empty & any_candidate
+    kalman_path = ~empty & any_inlier
+    k_elev = (var0c * H_star + V_star * elev0) / (var0c + V_star)
+    k_var = var0c * V_star / (var0c + V_star)
+    post_elev = jnp.where(init_path, H_star,
+                jnp.where(kalman_path, k_elev, elev0))
+    post_var = jnp.where(init_path, V_star,
+               jnp.where(kalman_path, k_var, var0))
+
+    overwrite_path = jnp.isfinite(h_max_out) & (h_max_out > post_elev) \
+        & ~empty
+
+    # --- pass 3: outlier-argmax variance + best-color variance -------------
+    p_is_argout = out_mask & (h == h_max_out[cidx])
+    p_overwrite_cell = overwrite_path[cidx]
+    contributing = valid & hascol & jnp.where(p_overwrite_cell,
+                                              p_is_argout, inlier)
+    _, ms3, _, _ = stats(
+        dummy,
+        jnp.stack([jnp.where(p_is_argout, v, jnp.inf),
+                   jnp.where(contributing, v, jnp.inf)]),
+        dummy)
+    v_argout, v_c = ms3[0], ms3[1]
+
+    new_elev = jnp.where(overwrite_path, h_max_out, post_elev)
+    new_var = jnp.where(overwrite_path, v_argout, post_var)
+    new_var = jnp.maximum(new_var, mcfg.min_variance)
+
+    # --- pass 4: color payload ---------------------------------------------
+    p_is_cbest = contributing & (v == v_c[cidx])
+    _, ms4, _, _ = stats(
+        dummy,
+        jnp.stack([jnp.where(p_is_cbest, color_f, jnp.inf),
+                   jnp.where(p_is_cbest, inten, jnp.inf)]),
+        dummy)
+    best_color = ms4[0]
+    best_intensity = ms4[1]
+    color_update = jnp.isfinite(v_c) & (init_path | kalman_path
+                                        | overwrite_path)
+    new_color = jnp.where(color_update, best_color.astype(jnp.int32),
                           state.color.reshape(-1))
     new_intensity = jnp.where(color_update, best_intensity,
                               state.intensity.reshape(-1))

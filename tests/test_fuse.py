@@ -55,7 +55,7 @@ def _run_oracle(state, cells, heights, variances, colors=None, intensity=None,
     return e, v, i, c
 
 
-@pytest.mark.parametrize("backend", ["segment", "sort"])
+@pytest.mark.parametrize("backend", ["segment", "sort", "pallas_interpret"])
 def test_single_point_per_cell_exact(backend):
     L = 8
     cfg = PipelineConfig(map=MapConfig(length=L, resolution=0.2))
@@ -79,7 +79,7 @@ def test_single_point_per_cell_exact(backend):
     np.testing.assert_array_equal(got_rgb, c)
 
 
-@pytest.mark.parametrize("backend", ["segment", "sort"])
+@pytest.mark.parametrize("backend", ["segment", "sort", "pallas_interpret"])
 def test_consistent_multi_point_cell_exact(backend):
     """Several tight points in one occupied cell: associative Kalman combine
     must equal the sequential chain (both are the Gaussian product)."""
@@ -129,7 +129,7 @@ def test_empty_cells_untouched_get_var_floor():
     assert np.asarray(new.variance)[3, 3] == pytest.approx(cfg.map.min_variance)
 
 
-@pytest.mark.parametrize("backend", ["segment", "sort"])
+@pytest.mark.parametrize("backend", ["segment", "sort", "pallas_interpret"])
 def test_random_statistical_agreement(backend):
     """Random clutter: TPU combine within 2 cm RMSE of the sequential oracle
     on fused cells."""
