@@ -192,6 +192,14 @@ def cmd_run(args):
         write_png(args.save_ortho, img)
         print(f"orthomosaic -> {args.save_ortho}")
 
+    if args.save_heatmap:
+        from gem_tpu.render import elevation_heatmap
+        from gem_tpu.utils.image import write_png
+
+        img = np.asarray(elevation_heatmap(pipe.state.map, cfg.map))
+        write_png(args.save_heatmap, img)
+        print(f"elevation heatmap -> {args.save_heatmap}")
+
     if args.publish_submaps:
         from gem_tpu.msgs import submap_record_from_store
 
@@ -287,6 +295,7 @@ def main(argv=None):
                     help="densify submaps on export (MLS-equivalent "
                          "surface upsample; the dense_mapping signal)")
     rp.add_argument("--save-ortho", help="write orthomosaic PNG")
+    rp.add_argument("--save-heatmap", help="write elevation heatmap PNG")
     rp.add_argument("--publish-submaps",
                     help="write SubMapRecord npz files to dir (the dislam "
                          "SubMap publication)")

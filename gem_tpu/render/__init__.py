@@ -1,4 +1,5 @@
 from gem_tpu.render.products import (  # noqa: F401
+    elevation_heatmap,
     costmap_from_traversability,
     costmap_from_points,
     inflate_costmap,

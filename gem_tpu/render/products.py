@@ -93,6 +93,26 @@ def orthomosaic(state: MapState, cfg: MapConfig, traver=None):
     ], axis=-1)
 
 
+def elevation_heatmap(state: MapState, cfg: MapConfig, vmin=None, vmax=None):
+    """(L, L, 3) uint8 geographic-aligned elevation colormap (blue=low,
+    red=high, black=empty) — the rviz-style visual the reference relies on
+    for validation (SURVEY.md §4)."""
+    elev = state.elevation
+    valid = elev != cfg.invalid_elevation
+    big = jnp.float32(1e9)
+    lo = jnp.min(jnp.where(valid, elev, big)) if vmin is None else vmin
+    hi = jnp.max(jnp.where(valid, elev, -big)) if vmax is None else vmax
+    t = jnp.clip((elev - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    # simple blue->cyan->yellow->red ramp
+    r = jnp.clip(1.5 * t - 0.25, 0, 1)
+    g = 1.0 - jnp.abs(2.0 * t - 1.0) * 0.8
+    b = jnp.clip(1.25 - 1.5 * t, 0, 1)
+    img = jnp.stack([r, g, b], axis=-1) * 255.0
+    img = jnp.where(valid[..., None], img, 0.0).astype(jnp.uint8)
+    return jnp.stack([_geographic_view(img[..., c], state.start)
+                      for c in range(3)], axis=-1)
+
+
 def grid_point_cloud(state: MapState, cfg: MapConfig, traver=None):
     """Flat struct-of-arrays colored cloud of the live grid (the
     visual_map / visualpoints publishers).  Returns dict of (L*L,) arrays
