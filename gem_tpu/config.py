@@ -228,6 +228,9 @@ class PipelineConfig:
     max_points: int = 32768   # padded point budget per frame
     traversability_threshold: float = 0.8  # travers_threshold (costmap/octomap split)
     enable_raytrace: bool = True
+    # run the visibility cleanup every Nth frame (the reference schedules it
+    # at ~1 Hz vs the 10 Hz callback, README.md:284-287); 1 = every frame
+    raytrace_every: int = 1
     enable_features: bool = True
     # odometry-jump handling (src/ElevationMapping.cpp:987-993): consecutive
     # frames with |dz| <= jump_z_tolerance needed to declare the jump settled.

@@ -51,3 +51,26 @@ def load_checkpoint(path: str, cfg: PipelineConfig) -> tuple[PipelineState, dict
     extra = {k.split("/", 1)[1]: data[k] for k in data.files
              if k.startswith("__extra__/")}
     return state, extra
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend: async saves + shard-aware restore for fleet/mesh states.
+
+
+def save_checkpoint_orbax(directory: str, state) -> None:
+    """Async-capable checkpoint via orbax (use for sharded fleet states:
+    each host writes its shards; npz would gather everything to host 0)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(directory, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(directory: str, template):
+    """Restore into the sharding/structure of `template` (e.g. a freshly
+    built + shard_fleet'd state)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(directory, target=template)

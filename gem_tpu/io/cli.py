@@ -119,6 +119,7 @@ def _save_global_pcd(pipe, cfg, path, dedup: bool = True):
 def cmd_run(args):
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     from gem_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from gem_tpu.io.pcd import save_pcd
@@ -200,6 +201,36 @@ def cmd_run(args):
         write_png(args.save_heatmap, img)
         print(f"elevation heatmap -> {args.save_heatmap}")
 
+    if args.save_octomap:
+        from gem_tpu.global_map.pyramid import build_pyramid
+
+        cat = _global_cloud(pipe, cfg)
+        span = max(float(np.abs(cat["x"][cat["valid"]]).max() if
+                         cat["valid"].any() else 1.0),
+                   float(np.abs(cat["y"][cat["valid"]]).max() if
+                         cat["valid"].any() else 1.0)) + 2.0
+        dim = int(min(512, 2 * span / cfg.map.resolution))
+        origin = (-span, -span, -10.0)
+        shape = (dim, dim, 128)
+        road, obs = build_pyramid(
+            jnp.asarray(cat["x"]), jnp.asarray(cat["y"]),
+            jnp.asarray(cat["z"]), jnp.asarray(cat["color"]),
+            jnp.asarray(cat["traver"]), jnp.asarray(cat["valid"]),
+            origin=origin, base_resolution=cfg.map.resolution,
+            shape=shape, travers_threshold=cfg.traversability_threshold)
+        out = {}
+        for name, levels in (("road", road), ("obstacle", obs)):
+            for i, g in enumerate(levels):
+                out[f"{name}_l{i}_occ"] = np.asarray(g.occupancy)
+                out[f"{name}_l{i}_color"] = np.asarray(g.color)
+                out[f"{name}_l{i}_res"] = np.float32(g.resolution)
+        out["origin"] = np.asarray(origin, np.float32)
+        np.savez_compressed(args.save_octomap, **out)
+        n_road = int(np.asarray(road[0].occupancy).sum())
+        n_obs = int(np.asarray(obs[0].occupancy).sum())
+        print(f"voxel pyramid (road {n_road} / obstacle {n_obs} voxels) -> "
+              f"{args.save_octomap}")
+
     if args.publish_submaps:
         from gem_tpu.msgs import submap_record_from_store
 
@@ -251,6 +282,56 @@ def cmd_run(args):
     return 0
 
 
+def cmd_fleet(args):
+    """N-robot fleet replay: one vmapped (or mesh-sharded) step for the
+    whole fleet, per-robot synthetic worlds."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gem_tpu.io.replay import synthetic_frames
+    from gem_tpu.multirobot.fleet import (fleet_step, make_fleet_state,
+                                          make_mesh, shard_fleet,
+                                          sharded_fleet_step)
+
+    cfg = _build_config(args)
+    R = args.robots
+    gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
+            for r in range(R)]
+    state = make_fleet_state(cfg, R)
+    if args.mesh:
+        mesh = make_mesh(min(len(jax.devices()), R))
+        state = shard_fleet(state, mesh)
+        step_fn = sharded_fleet_step(cfg, mesh)
+    else:
+        import functools as _ft
+
+        step_fn = jax.jit(_ft.partial(fleet_step, cfg=cfg))
+
+    t0 = time.time()
+    n = 0
+    outs = None
+    for frames in zip(*gens):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[f for f, _, _ in frames])
+        if args.mesh:
+            stacked = shard_fleet(stacked, mesh)
+        state, outs = step_fn(state, stacked)
+        n += 1
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+    pv = np.asarray(outs.metrics["points_valid"]) if outs else []
+    fused = np.asarray((state.map.elevation != cfg.map.invalid_elevation)
+                       .sum(axis=(-2, -1)))
+    print(f"fleet of {R} robots: {n} frames in {dt:.2f}s "
+          f"({n / max(dt, 1e-9):.1f} fleet-Hz, "
+          f"{'mesh' if args.mesh else 'vmap'})")
+    print(f"per-robot fused cells: {fused.tolist()}")
+    print(f"per-robot last-frame valid points: "
+          f"{np.asarray(pv).tolist()}")
+    return 0
+
+
 def cmd_info(args):
     import jax
 
@@ -296,6 +377,9 @@ def main(argv=None):
                          "surface upsample; the dense_mapping signal)")
     rp.add_argument("--save-ortho", help="write orthomosaic PNG")
     rp.add_argument("--save-heatmap", help="write elevation heatmap PNG")
+    rp.add_argument("--save-octomap",
+                    help="write road/obstacle voxel pyramid npz (the "
+                         "octomap export)")
     rp.add_argument("--publish-submaps",
                     help="write SubMapRecord npz files to dir (the dislam "
                          "SubMap publication)")
@@ -308,6 +392,16 @@ def main(argv=None):
     rp.add_argument("--metrics-out", help="JSONL metrics stream path")
     rp.add_argument("--profile", help="jax.profiler trace directory")
     rp.set_defaults(fn=cmd_run)
+
+    fp = sub.add_parser("fleet", help="multi-robot replay (vmapped, or "
+                                      "sharded over a device mesh)")
+    common(fp)
+    fp.add_argument("--robots", type=int, default=4)
+    fp.add_argument("--frames", type=int, default=50)
+    fp.add_argument("--speed", type=float, default=0.5)
+    fp.add_argument("--mesh", action="store_true",
+                    help="shard robots over all visible devices")
+    fp.set_defaults(fn=cmd_fleet)
 
     ip = sub.add_parser("info", help="environment + config dump")
     common(ip)

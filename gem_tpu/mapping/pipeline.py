@@ -177,7 +177,13 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
 
     # --- raytrace visibility cleanup ---------------------------------------
     if cfg.enable_raytrace:
-        map_state = raytrace_cleanup(map_state, cfg.map, feats.traver)
+        if cfg.raytrace_every > 1:
+            due = jnp.mod(state.frame_idx, cfg.raytrace_every) == 0
+            map_state = jax.lax.cond(
+                due, lambda s: raytrace_cleanup(s, cfg.map, feats.traver),
+                lambda s: s, map_state)
+        else:
+            map_state = raytrace_cleanup(map_state, cfg.map, feats.traver)
 
     # --- keyframe trigger (src/ElevationMapping.cpp:624-627) ---------------
     # In-graph finalization via lax.cond: no host sync in the hot loop (the
