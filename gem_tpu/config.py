@@ -95,10 +95,12 @@ class MapConfig:
     length: int = 75              # cells per side (length_in_x / resolution)
     resolution: float = 0.2       # m / cell
     min_variance: float = 1.0e-4  # kitti_demo_map.yaml:9; gpu_process.cu:500,533
-    max_variance: float = 1.0e4
+    max_variance: float = 1.0e4   # accepted for yaml parity; the reference
+    # kernels never consult it (upstream-only parameter)
     mahalanobis_threshold: float = 5.0  # gpu_process.cu:504 hardcodes 5 and
     # ignores the yaml value (2.5); default keeps kernel behavior.
-    multi_height_noise: float = 2.0e-5
+    multi_height_noise: float = 2.0e-5  # yaml parity; unused by the
+    # reference CUDA path (upstream-only)
     obstacle_threshold: float = 0.7     # traver below this => raytrace candidate
     # (src/ElevationMapping.cpp:199 passes 0.7 regardless of travers_threshold)
 
@@ -122,24 +124,6 @@ class MapConfig:
     # rolling-buffer shift cap per frame (cells).  Shifts beyond this fall back
     # to a full-map clear, like indexShift >= length in Move (gpu_process.cu:1033).
     max_shift_cells: int = 32
-
-    @property
-    def padded_length(self) -> int:
-        """Grid side padded to the f32 TPU tile (8 sublanes x 128 lanes).
-
-        Planes are stored (padded_rows, padded_cols); logical cells are
-        [0:length, 0:length].  Padding keeps every plane 8x128-aligned so XLA
-        never re-tiles.
-        """
-        return self.length  # storage handled per-plane; see core/state.py
-
-    @property
-    def padded_rows(self) -> int:
-        return _round_up(self.length, 8)
-
-    @property
-    def padded_cols(self) -> int:
-        return _round_up(self.length, 128)
 
     def num_rays(self) -> int:
         if self.raytrace_num_rays > 0:

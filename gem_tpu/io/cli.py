@@ -332,6 +332,28 @@ def cmd_fleet(args):
     return 0
 
 
+def cmd_bench(args):
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    spec = importlib.util.spec_from_file_location(
+        "gem_bench", os.path.join(root, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = []
+    if args.quick:
+        argv.append("--quick")
+    if args.length:
+        argv += ["--length", str(args.length)]
+    if args.points:
+        argv += ["--points", str(args.points)]
+    argv += ["--fuse-backend", args.fuse_backend]
+    sys.argv = ["bench.py"] + argv
+    mod.main()
+    return 0
+
+
 def cmd_info(args):
     import jax
 
@@ -402,6 +424,14 @@ def main(argv=None):
     fp.add_argument("--mesh", action="store_true",
                     help="shard robots over all visible devices")
     fp.set_defaults(fn=cmd_fleet)
+
+    bp = sub.add_parser("bench", help="run the benchmark (see bench.py)")
+    bp.add_argument("--quick", action="store_true")
+    bp.add_argument("--length", type=int, default=0)
+    bp.add_argument("--points", type=int, default=0)
+    bp.add_argument("--fuse-backend", default="pallas",
+                    choices=["segment", "sort", "pallas"])
+    bp.set_defaults(fn=cmd_bench)
 
     ip = sub.add_parser("info", help="environment + config dump")
     common(ip)
