@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from gem_tpu.global_map.submaps import PointBuffer
@@ -58,21 +59,26 @@ def densify_submap(buf: PointBuffer, *, base_resolution: float,
     t0 = splat(jnp.where(ok, buf.traver, 0.0))
     v0 = splat(jnp.where(ok, buf.variance, 0.0))
 
-    # gaussian-ish distance-weighted aggregation over the stencil
+    # gaussian-ish distance-weighted aggregation over the stencil; shifts
+    # are zero-filled (the fine grid is NOT circular — a wrap would blend
+    # moments across opposite borders)
+    r = radius_cells
+    shift = lambda a, i, j: jax.lax.dynamic_slice(
+        jnp.pad(a, r), (r + i, r + j), a.shape)
     n = jnp.zeros_like(n0)
     z = jnp.zeros_like(z0)
     t = jnp.zeros_like(t0)
     v = jnp.zeros_like(v0)
     c = jnp.zeros_like(c0)
     sigma2 = (radius_cells / 2.0) ** 2
-    for i in range(-radius_cells, radius_cells + 1):
-        for j in range(-radius_cells, radius_cells + 1):
+    for i in range(-r, r + 1):
+        for j in range(-r, r + 1):
             wgt = math.exp(-(i * i + j * j) / (2 * sigma2))
-            n = n + wgt * jnp.roll(n0, (i, j), axis=(0, 1))
-            z = z + wgt * jnp.roll(z0, (i, j), axis=(0, 1))
-            t = t + wgt * jnp.roll(t0, (i, j), axis=(0, 1))
-            v = v + wgt * jnp.roll(v0, (i, j), axis=(0, 1))
-            c = jnp.maximum(c, jnp.roll(c0, (i, j), axis=(0, 1)))
+            n = n + wgt * shift(n0, i, j)
+            z = z + wgt * shift(z0, i, j)
+            t = t + wgt * shift(t0, i, j)
+            v = v + wgt * shift(v0, i, j)
+            c = jnp.maximum(c, shift(c0, i, j))
 
     support = n
     valid = support >= (min_support * 0.5)

@@ -79,10 +79,14 @@ def refuse_pair(a: PointBuffer, b: PointBuffer, resolution: float):
     C = a.capacity
     qx_a, qy_a = _quantize(a.x, a.y, resolution)
     qx_b, qy_b = _quantize(b.x, b.y, resolution)
-    # pack (qx, qy) into one 32-bit key (±32k cells ~ ±3 km at 0.1 m)
-    key_a = (qx_a + 32768) * 65536 + (qy_a + 32768)
-    key_b = (qx_b + 32768) * 65536 + (qy_b + 32768)
-    big = jnp.int32(2147483647)
+    # Pack (qx, qy) into one uint32 key.  Coordinates alias every 65536
+    # cells (~6.5 km at 0.1 m) — harmless here because a pair of overlapping
+    # submaps spans <= 2*overlap_radius, far below the alias period.
+    pack = lambda qx, qy: ((qx.astype(jnp.uint32) & 0xFFFF) << 16) \
+        | (qy.astype(jnp.uint32) & 0xFFFF)
+    key_a = pack(qx_a, qy_a)
+    key_b = pack(qx_b, qy_b)
+    big = jnp.uint32(0xFFFFFFFF)
     key = jnp.concatenate([jnp.where(a.valid, key_a, big - 1),
                            jnp.where(b.valid, key_b, big)])
     tag = jnp.concatenate([jnp.zeros((C,), jnp.int32),
@@ -91,8 +95,9 @@ def refuse_pair(a: PointBuffer, b: PointBuffer, resolution: float):
     z = jnp.concatenate([a.z, b.z])
     var = jnp.concatenate([a.variance, b.variance])
 
-    # sort by (key, tag): within a key, side-a rows precede side-b rows
-    order = jnp.argsort(key * 2 + tag)
+    # lexicographic sort by (key, tag): within a key, side-a rows precede
+    # side-b rows (no arithmetic packing — key*2 would overflow)
+    order = jnp.lexsort((tag, key))
     k_s = key[order]
     t_s = tag[order]
     z_s = z[order]

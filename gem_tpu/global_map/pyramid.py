@@ -40,9 +40,12 @@ def statistical_outlier_mask(xs, ys, zs, valid, mean_k: int = 20,
     qx = jnp.floor(xs / cell).astype(jnp.int32)
     qy = jnp.floor(ys / cell).astype(jnp.int32)
     key = (qx & 0xFFFF) << 16 | (qy & 0xFFFF)
-    # count points per coarse cell via sort
-    order = jnp.argsort(jnp.where(valid, key, jnp.int32(2147483647)))
-    k_s = key[order]
+    # count points per coarse cell via sort; runs must be detected on the
+    # MASKED key so invalid entries cluster in their own tail run instead of
+    # extending a valid run that shares their raw coordinates
+    masked = jnp.where(valid, key, jnp.int32(2147483647))
+    order = jnp.argsort(masked)
+    k_s = masked[order]
     same_prev = jnp.concatenate([jnp.zeros((1,), bool), k_s[1:] == k_s[:-1]])
     run_id = jnp.cumsum(~same_prev) - 1
     counts = jax.ops.segment_sum(jnp.ones_like(run_id), run_id,

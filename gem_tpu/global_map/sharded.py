@@ -62,8 +62,24 @@ def shard_store(store: SubmapStore, mesh: Mesh, axis: str = "shard"
     )
 
 
+_SHARDED_LC_CACHE: dict = {}
+
+
 def sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
                          axis: str = "shard"):
+    """Memoized builder — rebuilding the shard_map closure per call would
+    recompile the ring-sweep program on every loop-closure event."""
+    cache_key = (cfg, id(mesh), axis)
+    hit = _SHARDED_LC_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    fn = _build_sharded_loop_closure(cfg, mesh, axis)
+    _SHARDED_LC_CACHE[cache_key] = fn
+    return fn
+
+
+def _build_sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
+                                axis: str = "shard"):
     """Build the jitted SPMD loop-closure step for `mesh`.
 
     Returns fn(slots, counts, centers, poses, opt_poses, opt_count) ->

@@ -386,7 +386,7 @@ def main(argv=None):
     rp.add_argument("--speed", type=float, default=0.5)
     rp.add_argument("--seed", type=int, default=0)
     rp.add_argument("--fuse-backend", default="segment",
-                    choices=["segment", "sort"])
+                    choices=["segment", "sort", "pallas"])
     rp.add_argument("--log-every", type=int, default=0,
                     help="print metrics every N frames (each print fetches "
                          "device state — expensive over a remote TPU relay)")

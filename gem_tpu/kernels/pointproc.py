@@ -126,6 +126,12 @@ def process_points(
     upper = base_z + cfg.sensor.ignore_points_above
     band_ok = (height > lower) & (height < upper)
     valid = jnp.asarray(in_valid, bool) & ~drop & band_ok
+    if cfg.sensor.model == "structured_light":
+        # depth cutoffs (cleanPointCloud's PassThrough z filter,
+        # StructuredLightSensorProcessor.cpp:53-66)
+        depth = points[:, 2]
+        valid = valid & (depth >= cfg.sensor.cutoff_min_depth) \
+            & (depth <= cfg.sensor.cutoff_max_depth)
 
     # per-point height variance (sensor model; sensors/models.py)
     var = height_variance(cfg.sensor, points, sensor_jacobian,

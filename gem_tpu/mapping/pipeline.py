@@ -171,7 +171,11 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
                             neighbor_count=jnp.zeros((L, L), jnp.int32))
 
     # --- submap shed accumulation ------------------------------------------
-    suppress = use_jump | state.jump_fresh
+    # Suppress the shed during the jump AND on the frame the jump settles
+    # (jump_fresh == finish): that frame's move sheds cells whose heights
+    # were re-labelled by the re-anchors — the reference drops exactly that
+    # shed via JumpFlag (src/ElevationMapping.cpp:630, 716, 766).
+    suppress = use_jump | jump_fresh
     shed = dataclasses.replace(shed, valid=shed.valid & ~suppress)
     submaps = sm.append_shed(state.submaps, shed)
 

@@ -171,15 +171,22 @@ class FramePrefetcher:
         return len(self.paths)
 
     def __getitem__(self, idx: int) -> bytes:
+        if idx < 0 or idx >= len(self.paths):
+            raise IndexError(idx)
         if self._handle is not None:
             size = self._lib.gem_prefetcher_size(self._handle, idx)
+            if size == -2:
+                # ring is forward-only; backward access falls back to a
+                # direct read instead of deadlocking
+                with open(self.paths[idx], "rb") as f:
+                    return f.read()
             if size < 0:
                 raise IndexError(idx)
-            buf = np.empty(size, np.uint8)
+            buf = np.empty(max(size, 1), np.uint8)
             got = self._lib.gem_prefetcher_copy(self._handle, idx, buf, size)
             if got != size:
                 raise IOError(f"prefetch copy failed ({got})")
-            return buf.tobytes()
+            return buf[:size].tobytes()
         with open(self.paths[idx], "rb") as f:
             return f.read()
 

@@ -196,8 +196,12 @@ struct Prefetcher {
       {
         std::unique_lock<std::mutex> lk(mu);
         cv_full.wait(lk, [&] {
+          // signed: the consumer may skip AHEAD of next_read, and the
+          // unsigned difference would underflow and stall the worker
+          const long ahead = static_cast<long>(next_read) -
+                             static_cast<long>(next_consume);
           return stop.load() || (next_read < paths.size() &&
-                                 next_read - next_consume < slots.size());
+                                 ahead < static_cast<long>(slots.size()));
         });
         if (stop.load() || next_read >= paths.size()) {
           if (next_read >= paths.size()) return;
@@ -245,7 +249,9 @@ int gem_prefetcher_create(const char** paths, int n_paths, int ring) {
 }
 
 // Blocks until frame `idx` is loaded; returns its byte size (0 = read error,
-// -1 = bad handle/index).  Data is fetched with gem_prefetcher_copy.
+// -1 = bad handle/index, -2 = frame no longer reachable — the ring is
+// forward-only and the slot was already overwritten by a newer frame; the
+// caller must fall back to a direct read).  Data: gem_prefetcher_copy.
 long gem_prefetcher_size(int handle, int idx) {
   Prefetcher* p;
   {
@@ -256,12 +262,15 @@ long gem_prefetcher_size(int handle, int idx) {
   }
   if (idx < 0 || static_cast<size_t>(idx) >= p->paths.size()) return -1;
   std::unique_lock<std::mutex> lk(p->mu);
+  const size_t slot = static_cast<size_t>(idx) % p->slots.size();
+  if (p->slot_frame[slot] > idx) return -2;  // overwritten: backward access
   p->next_consume = static_cast<size_t>(idx);
   p->cv_full.notify_all();
   p->cv_empty.wait(lk, [&] {
-    return p->slot_frame[idx % p->slots.size()] == idx;
+    return p->stop.load() || p->slot_frame[slot] >= idx;
   });
-  return static_cast<long>(p->slots[idx % p->slots.size()].size());
+  if (p->slot_frame[slot] != idx) return -2;
+  return static_cast<long>(p->slots[slot].size());
 }
 
 int gem_prefetcher_copy(int handle, int idx, uint8_t* out, long capacity) {

@@ -20,6 +20,7 @@ No subscribers, no cv_bridge: arrays in, arrays out, all jittable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gem_tpu.config import MapConfig
@@ -33,13 +34,18 @@ NO_INFORMATION = 255
 
 
 def costmap_from_traversability(traver, threshold: float,
-                                invalid: float = -10.0):
-    """(L, L) uint8 costmap from a traversability plane."""
+                                invalid: float = -10.0, start=None):
+    """(L, L) uint8 costmap from a traversability plane.
+
+    Pass `start` (the rolling-buffer start index) to emit the costmap
+    geographic-aligned — required before inflate_costmap so the stencil does
+    not act across the storage wrap seam."""
     known = traver != invalid
     lethal = known & (traver < threshold)
-    return jnp.where(lethal, LETHAL_OBSTACLE,
-                     jnp.where(known, FREE_SPACE,
-                               NO_INFORMATION)).astype(jnp.uint8)
+    cm = jnp.where(lethal, LETHAL_OBSTACLE,
+                   jnp.where(known, FREE_SPACE,
+                             NO_INFORMATION)).astype(jnp.uint8)
+    return cm if start is None else _geographic_view(cm, start)
 
 
 def costmap_from_points(xs, ys, travers, valid, threshold: float,
@@ -58,14 +64,25 @@ def costmap_from_points(xs, ys, travers, valid, threshold: float,
 
 
 def inflate_costmap(costmap, radius_cells: int):
-    """Inflate lethal cells by a square radius (max-pool stencil)."""
+    """Inflate lethal cells by a square radius (max-pool stencil).
+
+    Shifts are zero-filled, NOT circular: a storage-indexed plane's wrap
+    seam and a geographic plane's window edges must not leak lethal cells to
+    the opposite side.  Pass a geographic-aligned costmap (e.g. rotate with
+    render.products._geographic_view or costmap_from_traversability(...,
+    start=...)) so the stencil acts in contiguous world space.
+    """
     lethal = (costmap == LETHAL_OBSTACLE)
+    r = radius_cells
+    padded = jnp.pad(lethal, r)
     out = lethal
-    for i in range(-radius_cells, radius_cells + 1):
-        for j in range(-radius_cells, radius_cells + 1):
+    L0, L1 = lethal.shape
+    for i in range(-r, r + 1):
+        for j in range(-r, r + 1):
             if i == 0 and j == 0:
                 continue
-            out = out | jnp.roll(lethal, (i, j), axis=(0, 1))
+            out = out | jax.lax.dynamic_slice(padded, (r + i, r + j),
+                                              (L0, L1))
     return jnp.where(out, LETHAL_OBSTACLE, costmap).astype(jnp.uint8)
 
 
