@@ -1,0 +1,81 @@
+"""DiSCO-style place recognition signatures for inter-robot loop search.
+
+The reference only defines the message contracts (dislam_msgs/DiSCO.msg:
+fftr/ffti/signature + pose) and delegates the computation to the external
+MR_SLAM backend.  Here the descriptor is computed in-framework as pure JAX:
+
+  1. rasterise a submap's points into a polar BEV occupancy image
+     (rings x sectors), robot-centric;
+  2. the signature is the ring-wise occupancy profile (rotation-tolerant
+     after the FFT step);
+  3. the azimuthal FFT magnitude spectrum per ring is rotation-INVARIANT
+     (a yaw rotation is a circular shift over sectors), and the raw
+     spectrum's phase recovers the relative yaw between two matching places
+     — the DiSCO trick.
+
+`match_signature` scores candidate pairs and estimates relative yaw, the
+ingredient MR_SLAM's place-recognition exchange (InterPR) needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from gem_tpu.global_map.submaps import PointBuffer
+
+
+def polar_bev(buf: PointBuffer, center_xy, max_radius: float,
+              n_rings: int = 32, n_sectors: int = 64):
+    """(n_rings, n_sectors) occupancy image of a submap around `center_xy`."""
+    dx = buf.x - center_xy[0]
+    dy = buf.y - center_xy[1]
+    r = jnp.sqrt(dx * dx + dy * dy)
+    theta = jnp.arctan2(dy, dx)
+    ring = jnp.floor(r / max_radius * n_rings).astype(jnp.int32)
+    sector = jnp.mod(jnp.floor((theta + math.pi) / (2 * math.pi) * n_sectors)
+                     .astype(jnp.int32), n_sectors)
+    ok = buf.valid & (ring >= 0) & (ring < n_rings)
+    flat = jnp.where(ok, ring * n_sectors + sector, n_rings * n_sectors)
+    img = jnp.zeros((n_rings * n_sectors + 1,), jnp.float32)
+    img = img.at[flat].add(1.0, mode="drop")
+    return jnp.minimum(img[:-1].reshape(n_rings, n_sectors), 1.0)
+
+
+def disco_signature(buf: PointBuffer, center_xy, max_radius: float = 25.0,
+                    n_rings: int = 32, n_sectors: int = 64):
+    """Returns (signature, fft_real, fft_imag):
+
+    signature : (n_rings * n_sectors,) rotation-invariant azimuthal-FFT
+                magnitudes (flattened rings x frequencies)
+    fft_real/imag : the complex spectrum of the sector-summed profile, used
+                for relative-yaw estimation between matches
+    """
+    img = polar_bev(buf, center_xy, max_radius, n_rings, n_sectors)
+    spec = jnp.fft.fft(img, axis=1)                       # (R, S) complex
+    signature = jnp.abs(spec).reshape(-1).astype(jnp.float32)
+    profile = img.sum(axis=0)                             # (S,)
+    pspec = jnp.fft.fft(profile)
+    return signature, pspec.real.astype(jnp.float32), \
+        pspec.imag.astype(jnp.float32)
+
+
+def match_signatures(sig_a, sig_b):
+    """Cosine similarity of two rotation-invariant signatures."""
+    na = jnp.linalg.norm(sig_a) + 1e-9
+    nb = jnp.linalg.norm(sig_b) + 1e-9
+    return jnp.dot(sig_a, sig_b) / (na * nb)
+
+
+def relative_yaw(fft_a_real, fft_a_imag, fft_b_real, fft_b_imag,
+                 n_sectors: int = 64):
+    """Relative yaw between two places by phase correlation of their
+    azimuthal profiles (circular cross-correlation peak via inverse FFT)."""
+    A = fft_a_real + 1j * fft_a_imag
+    B = fft_b_real + 1j * fft_b_imag
+    cross = A * jnp.conj(B)
+    cross = cross / (jnp.abs(cross) + 1e-9)
+    corr = jnp.fft.ifft(cross).real
+    shift = jnp.argmax(corr)
+    return shift.astype(jnp.float32) * (2 * math.pi / n_sectors)

@@ -136,8 +136,18 @@ def cmd_run(args):
     metrics_log = MetricsLogger(args.metrics_out)
     t0 = time.time()
     n = 0
+    last_t = t0
     with trace(args.profile):
         for frame in _frames(cfg, args):
+            # watchdog (the reference arms a timer at min_update_rate but
+            # never binds its handler, src/ElevationMapping.cpp:1050-1057;
+            # here it actually fires)
+            now = time.time()
+            if args.max_update_gap and now - last_t > args.max_update_gap:
+                print(f"WARNING: {now - last_t:.2f}s since last frame "
+                      f"(max_update_gap={args.max_update_gap}s)",
+                      file=sys.stderr, flush=True)
+            last_t = now
             out = pipe.process(frame)
             n += 1
             if args.log_every and n % args.log_every == 0:
@@ -413,6 +423,9 @@ def main(argv=None):
                          "and save before/after maps")
     rp.add_argument("--metrics-out", help="JSONL metrics stream path")
     rp.add_argument("--profile", help="jax.profiler trace directory")
+    rp.add_argument("--max-update-gap", type=float, default=0.0,
+                    help="warn when the inter-frame gap exceeds this many "
+                         "seconds (the reference's min_update_rate watchdog)")
     rp.set_defaults(fn=cmd_run)
 
     fp = sub.add_parser("fleet", help="multi-robot replay (vmapped, or "
