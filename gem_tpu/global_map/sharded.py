@@ -69,7 +69,9 @@ def sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
                          axis: str = "shard"):
     """Memoized builder — rebuilding the shard_map closure per call would
     recompile the ring-sweep program on every loop-closure event."""
-    cache_key = (cfg, id(mesh), axis)
+    # Mesh is hashable/eq-comparable; keying on id(mesh) could alias a GC'd
+    # mesh's reused id to a different device layout.
+    cache_key = (cfg, mesh, axis)
     hit = _SHARDED_LC_CACHE.get(cache_key)
     if hit is not None:
         return hit
@@ -99,21 +101,26 @@ def _build_sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
         a3 = jax.tree.map(keep, a2, a)
         return a3, jnp.where(do_pair, nf, 0)
 
-    def body(slots, counts, centers, poses, opt_poses, opt_mask):
+    def body(slots, counts, centers, poses, opt_poses, transform_mask,
+             participates):
         # --- local pose correction + re-transform ------------------------
+        # poses/centers update for ALL participating submaps (incl. the
+        # anchor slot 0); the rigid transform skips the anchor, exactly like
+        # the unsharded path (loop_closure.py / ElevationMapping.cpp:794).
         T = relative_transforms(opt_poses, poses)
         eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), T.shape)
-        T = jnp.where(opt_mask[:, None, None], T, eye)
+        T = jnp.where(transform_mask[:, None, None], T, eye)
         slots = transform_submaps(slots, T)
-        poses = jnp.where(opt_mask[:, None], opt_poses, poses)
-        centers = jnp.where(opt_mask[:, None], opt_poses[:, :2], centers)
+        poses = jnp.where(participates[:, None], opt_poses, poses)
+        centers = jnp.where(participates[:, None], opt_poses[:, :2],
+                            centers)
 
         # --- ring sweep ---------------------------------------------------
-        my = jax.lax.axis_index(axis)
-
+        # pairs are restricted to participating (first-n) submaps, matching
+        # apply_loop_closure; re-fusing uncorrected pairs on every event
+        # would repeatedly shrink their variances.
         def sweep(step, carry):
-            slots, visiting, v_centers, v_valid, n_fused = carry
-            src_shard = jnp.mod(my + step, n_shards)
+            slots, visiting, v_centers, v_part, n_fused = carry
 
             def one_local(i, acc):
                 slots, n_fused = acc
@@ -122,8 +129,8 @@ def _build_sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
                     slots, n_fused = acc2
                     d2 = jnp.sum((centers[i] - v_centers[j]) ** 2)
                     same = (step == 0) & (i == j)
-                    do = (d2 < radius2) & v_valid[j] & ~same \
-                        & (counts[i] > 0)
+                    do = (d2 < radius2) & v_part[j] & ~same \
+                        & (counts[i] > 0) & participates[i]
                     a = jax.tree.map(lambda x: x[i], slots)
                     b = jax.tree.map(lambda x: x[j], visiting)
                     a2, nf = _refuse_masked(a, b, do)
@@ -139,11 +146,11 @@ def _build_sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
             visiting = jax.tree.map(
                 lambda x: jax.lax.ppermute(x, axis, perm), visiting)
             v_centers = jax.lax.ppermute(v_centers, axis, perm)
-            v_valid = jax.lax.ppermute(v_valid, axis, perm)
-            return slots, visiting, v_centers, v_valid, n_fused
+            v_part = jax.lax.ppermute(v_part, axis, perm)
+            return slots, visiting, v_centers, v_part, n_fused
 
-        v_valid = counts > 0
-        carry = (slots, slots, centers, v_valid, jnp.int32(0))
+        v_part = participates & (counts > 0)
+        carry = (slots, slots, centers, v_part, jnp.int32(0))
         slots, _, _, _, n_fused = jax.lax.fori_loop(0, n_shards, sweep,
                                                     carry)
         return slots, centers, poses, jax.lax.psum(n_fused, axis)
@@ -151,7 +158,7 @@ def _build_sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
     spec = P(axis)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec, spec, spec),
         out_specs=(spec, spec, spec, P()),
         check_vma=False)
     return jax.jit(fn)
@@ -164,16 +171,19 @@ def apply_sharded_loop_closure(store: SubmapStore, cfg: PipelineConfig,
     K = cfg.submap.max_submaps
     n = int(min(np.asarray(opt_poses).shape[0], int(store.num_submaps), K))
     opt_full = np.asarray(jax.device_get(store.poses)).copy()
-    mask = np.zeros(K, bool)
-    if n > 1:
-        opt_full[1:n] = np.asarray(opt_poses)[1:n]   # slot 0 is the anchor
-        mask[1:n] = True
+    transform_mask = np.zeros(K, bool)
+    participates = np.zeros(K, bool)
+    if n > 0:
+        opt_full[:n] = np.asarray(opt_poses)[:n]
+        participates[:n] = True
+        transform_mask[1:n] = True     # slot 0 is the rigid-transform anchor
     fn = sharded_loop_closure(cfg, mesh, axis)
     sharded = NamedSharding(mesh, P(axis))
     opt_dev = jax.device_put(jnp.asarray(opt_full, jnp.float32), sharded)
-    mask_dev = jax.device_put(jnp.asarray(mask), sharded)
+    tm_dev = jax.device_put(jnp.asarray(transform_mask), sharded)
+    pt_dev = jax.device_put(jnp.asarray(participates), sharded)
     slots, centers, poses, n_fused = fn(store.slots, store.counts,
                                         store.centers, store.poses,
-                                        opt_dev, mask_dev)
+                                        opt_dev, tm_dev, pt_dev)
     return store.replace(slots=slots, centers=centers, poses=poses), \
         {"n_corrected": n, "n_cells_fused": int(n_fused)}

@@ -40,6 +40,16 @@ def _build_config(args):
         from gem_tpu.sensors.catalog import sensor_preset
 
         cfg = cfg.replace(sensor=sensor_preset(args.sensor))
+    if getattr(args, "camera", None):
+        import numpy as np
+
+        from gem_tpu.config import CameraConfig
+
+        d = np.load(args.camera)
+        cfg = cfg.replace(camera=CameraConfig(
+            image_height=int(d["image_height"]),
+            image_width=int(d["image_width"]),
+            projection=tuple(float(v) for v in d["projection"])))
     return cfg
 
 
@@ -387,6 +397,9 @@ def main(argv=None):
         p.add_argument("--sensor",
                        help="sensor model preset (velodyne_vlp16, kinect, "
                             "realsense_d435, aslam_stereo, perfect, ...)")
+        p.add_argument("--camera",
+                       help="camera.npz (projection + image size) from the "
+                            "KITTI converter, enables colorization")
 
     rp = sub.add_parser("run", help="replay a dataset through the pipeline")
     common(rp)

@@ -95,24 +95,40 @@ def projection_matrix(calib: dict):
     return (P @ R @ Tr).astype(np.float32)
 
 
+def _load_image(path: str):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
 def convert_drive(drive_dir: str, out_dir: str, max_frames: int = 0,
-                  imu_to_velo=None) -> int:
+                  imu_to_velo=None, calib_path: str | None = None,
+                  with_images: bool = True) -> int:
     """Convert a KITTI raw drive to npz frames; returns the frame count.
 
     The sensor->map transform chains OXTS pose with the (optional)
     imu->velodyne extrinsic; the track point follows the velodyne origin.
+    When `with_images` and image_02 frames exist, each npz carries the RGB
+    image for in-pipeline colorization, and `calib_path` (if given) emits
+    `<out_dir>/camera.npz` with the lidar->image projection + image size for
+    CameraConfig (CLI: `gem_tpu run --camera <out_dir>/camera.npz`).
     """
     os.makedirs(out_dir, exist_ok=True)
     bins = sorted(glob.glob(os.path.join(drive_dir, "velodyne_points",
                                          "data", "*.bin")))
     oxts = sorted(glob.glob(os.path.join(drive_dir, "oxts", "data", "*.txt")))
+    imgs = sorted(glob.glob(os.path.join(drive_dir, "image_02", "data",
+                                         "*.png"))) if with_images else []
     if max_frames:
         bins, oxts = bins[:max_frames], oxts[:max_frames]
+        imgs = imgs[:max_frames]
     if len(bins) != len(oxts) or not bins:
         raise FileNotFoundError(
             f"bad drive layout under {drive_dir}: "
             f"{len(bins)} scans vs {len(oxts)} oxts rows")
+    use_images = len(imgs) == len(bins)
 
+    img_shape = None
     scale = None
     origin = None
     T_iv = np.eye(4) if imu_to_velo is None else np.asarray(imu_to_velo)
@@ -132,10 +148,22 @@ def convert_drive(drive_dir: str, out_dir: str, max_frames: int = 0,
         T_wi[:3, 3] = t
         T_wv = T_wi @ np.linalg.inv(T_iv)          # world <- velodyne
 
+        extra = {}
+        if use_images:
+            img = _load_image(imgs[i])
+            img_shape = img.shape
+            extra["image"] = img
         np.savez(os.path.join(out_dir, f"{i:06d}.npz"),
                  points=pts.astype(np.float32),
                  intensity=(intensity * 100.0).astype(np.float32),
                  transform=T_wv.astype(np.float32),
                  track_position=T_wv[:3, 3].astype(np.float32),
-                 pose_quat=rotmat_to_quat(T_wv[:3, :3]))
+                 pose_quat=rotmat_to_quat(T_wv[:3, :3]), **extra)
+
+    if calib_path and img_shape is not None:
+        P = projection_matrix(read_calib(calib_path))
+        np.savez(os.path.join(out_dir, "camera.npz"),
+                 projection=P.reshape(-1),
+                 image_height=np.int32(img_shape[0]),
+                 image_width=np.int32(img_shape[1]))
     return len(bins)

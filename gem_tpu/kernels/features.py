@@ -88,6 +88,35 @@ def _smallest_eig_normal(xx, xy, xz, yy, yz, zz):
     return nz, eig_hi
 
 
+def features_from_moments(acc: dict, interior_elev, cfg: MapConfig):
+    """Moment sums -> (slope, rough, traver, nz, ok).
+
+    `acc` holds the 5x5 masked moment accumulators (n, Sx, Sy, Sz, Sxx, Syy,
+    Sxy, Sxz, Syz, Szz); `interior_elev` is the center-cell elevation.
+    Shared by the single-chip stencil below and the halo-exchange sharded
+    stencil (multirobot/spatial.py) so the plane-fit semantics cannot drift
+    apart.
+    """
+    n_safe = jnp.maximum(acc["n"], 1.0)
+    xx = acc["Sxx"] - acc["Sx"] * acc["Sx"] / n_safe
+    yy = acc["Syy"] - acc["Sy"] * acc["Sy"] / n_safe
+    zz = acc["Szz"] - acc["Sz"] * acc["Sz"] / n_safe
+    xy = acc["Sxy"] - acc["Sx"] * acc["Sy"] / n_safe
+    xz = acc["Sxz"] - acc["Sx"] * acc["Sz"] / n_safe
+    yz = acc["Syz"] - acc["Sy"] * acc["Sz"] / n_safe
+
+    nz, _ = _smallest_eig_normal(xx, xy, xz, yy, yz, zz)
+    slope = jnp.arccos(jnp.clip(nz, 0.0, 1.0))
+    rough = jnp.abs(interior_elev - acc["Sz"] / n_safe)
+    traver = (0.5 * (1.0 - slope / cfg.slope_critical)
+              + 0.5 * (1.0 - rough / cfg.rough_critical))
+    ok = (interior_elev != cfg.invalid_elevation) \
+        & (acc["n"] >= cfg.feature_min_neighbors)
+    return (jnp.where(ok, slope, 0.0), jnp.where(ok, rough, 0.0),
+            jnp.where(ok, traver, cfg.invalid_traversability),
+            jnp.where(ok, nz, 1.0), ok)
+
+
 def compute_features(state: MapState, cfg: MapConfig) -> FeatureMaps:
     L = cfg.length
     res = cfg.resolution
@@ -97,17 +126,9 @@ def compute_features(state: MapState, cfg: MapConfig) -> FeatureMaps:
     geo_r = jnp.mod(rows - state.start[0] + L, L)      # geographic row of storage row
     geo_c = jnp.mod(rows - state.start[1] + L, L)
 
-    n = jnp.zeros((L, L), jnp.float32)
-    Sx = jnp.zeros((L, L), jnp.float32)
-    Sy = jnp.zeros((L, L), jnp.float32)
-    Sz = jnp.zeros((L, L), jnp.float32)
-    Sxx = jnp.zeros((L, L), jnp.float32)
-    Syy = jnp.zeros((L, L), jnp.float32)
-    Sxy = jnp.zeros((L, L), jnp.float32)
-    Sxz = jnp.zeros((L, L), jnp.float32)
-    Syz = jnp.zeros((L, L), jnp.float32)
-    Szz = jnp.zeros((L, L), jnp.float32)
-
+    acc = {k: jnp.zeros((L, L), jnp.float32)
+           for k in ("n", "Sx", "Sy", "Sz", "Sxx", "Syy", "Sxy", "Sxz",
+                     "Syz", "Szz")}
     for i in range(-2, 3):
         # geographic bound: neighbor row must stay inside the window
         row_ok = (geo_r + i >= 0) & (geo_r + i < L)
@@ -119,37 +140,19 @@ def compute_features(state: MapState, cfg: MapConfig) -> FeatureMaps:
             cx = i * res
             cy = j * res
             mz = m * z
-            n = n + m
-            Sx = Sx + m * cx
-            Sy = Sy + m * cy
-            Sz = Sz + mz
-            Sxx = Sxx + m * (cx * cx)
-            Syy = Syy + m * (cy * cy)
-            Sxy = Sxy + m * (cx * cy)
-            Sxz = Sxz + mz * cx
-            Syz = Syz + mz * cy
-            Szz = Szz + mz * z
+            acc["n"] += m
+            acc["Sx"] += m * cx
+            acc["Sy"] += m * cy
+            acc["Sz"] += mz
+            acc["Sxx"] += m * (cx * cx)
+            acc["Syy"] += m * (cy * cy)
+            acc["Sxy"] += m * (cx * cy)
+            acc["Sxz"] += mz * cx
+            acc["Syz"] += mz * cy
+            acc["Szz"] += mz * z
 
-    n_safe = jnp.maximum(n, 1.0)
-    xx = Sxx - Sx * Sx / n_safe
-    yy = Syy - Sy * Sy / n_safe
-    zz = Szz - Sz * Sz / n_safe
-    xy = Sxy - Sx * Sy / n_safe
-    xz = Sxz - Sx * Sz / n_safe
-    yz = Syz - Sy * Sz / n_safe
-
-    nz, _ = _smallest_eig_normal(xx, xy, xz, yy, yz, zz)
-    slope = jnp.arccos(jnp.clip(nz, 0.0, 1.0))
-    mean_z = Sz / n_safe
-    rough = jnp.abs(elev - mean_z)
-    traver = (0.5 * (1.0 - slope / cfg.slope_critical)
-              + 0.5 * (1.0 - rough / cfg.rough_critical))
-
-    ok = (elev != cfg.invalid_elevation) & (n >= cfg.feature_min_neighbors)
+    slope, rough, traver, nz, _ = features_from_moments(acc, elev, cfg)
     return FeatureMaps(
-        slope=jnp.where(ok, slope, 0.0),
-        rough=jnp.where(ok, rough, 0.0),
-        traver=jnp.where(ok, traver, cfg.invalid_traversability),
-        normal_z=jnp.where(ok, nz, 1.0),
-        neighbor_count=n.astype(jnp.int32),
+        slope=slope, rough=rough, traver=traver, normal_z=nz,
+        neighbor_count=acc["n"].astype(jnp.int32),
     )

@@ -41,7 +41,8 @@ def _kernel(base_ref, ids_ref, sums_in_ref, mins_in_ref, maxs_in_ref,
             sum_vals_ref, min_vals_ref, max_vals_ref,
             sums_ref, mins_ref, maxs_ref, spill_ref,
             sum_scr, min_scr, max_scr, sems,
-            *, chunk: int, window: int, n_sum: int, n_min: int, n_max: int):
+            *, chunk: int, window: int, n_sum: int, n_min: int, n_max: int,
+            num_segments: int):
     k = pl.program_id(0)
     # lane-aligned window start (DMA slices must start on a 128 boundary)
     base = pl.multiple_of((base_ref[k] // 128) * 128, 128)
@@ -71,8 +72,8 @@ def _kernel(base_ref, ids_ref, sums_in_ref, mins_in_ref, maxs_in_ref,
     member = (cols == local_c[:, None]) & (in_win_i[:, None] > 0)
 
     # --- sums: one MXU matmul (n_sum, chunk) @ (chunk, window) -------------
+    # (out-of-window points already contribute zero through `member`)
     sv = sum_vals_ref[...]                               # (n_sum, chunk)
-    sv = sv * in_win_i[None, :].astype(jnp.float32)
     # Precision.HIGHEST: the MXU rounds f32 inputs to bf16 by default, which
     # costs ~1e-3 relative error on the sums; the 3-pass bf16 expansion
     # restores f32-accurate products (the one-hot side is exact either way).
@@ -109,8 +110,10 @@ def _kernel(base_ref, ids_ref, sums_in_ref, mins_in_ref, maxs_in_ref,
     for c in cps_out:
         c.wait()
 
-    # --- spill count -------------------------------------------------------
-    n_spill = jnp.sum((local >= window).astype(jnp.int32))
+    # --- spill count (REAL points only: padding/invalid lanes carry
+    # id == num_segments and must not trigger the slow fallback) ------------
+    n_spill = jnp.sum(((local >= window)
+                       & (ids < num_segments)).astype(jnp.int32))
 
     @pl.when(k == 0)
     def _():
@@ -181,7 +184,8 @@ def pallas_segment_stats(sorted_ids, sum_vals, min_vals, max_vals,
     )
 
     kernel = functools.partial(_kernel, chunk=chunk, window=window,
-                               n_sum=n_sum, n_min=n_min, n_max=n_max)
+                               n_sum=n_sum, n_min=n_min, n_max=n_max,
+                               num_segments=num_segments)
     sums, mins, maxs, spill = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -31,12 +31,14 @@ _HALO = 2   # 5x5 stencil
 
 
 def _features_block(elev_block, row_offset, cfg: MapConfig, total_rows: int):
-    """compute_features' moment stencil on a halo-extended geographic block.
+    """Halo-extended moment accumulation; the moments -> features reduction
+    is shared with the single-chip kernel (features_from_moments) so the
+    plane-fit semantics cannot drift apart.
 
     elev_block: (halo + rows + halo, L) with invalid-filled out-of-range
-    halos; returns (rows, L) slope/rough/traver/nz/count.
+    halos; returns (rows, L) slope / rough / traver.
     """
-    from gem_tpu.kernels.features import _smallest_eig_normal
+    from gem_tpu.kernels.features import features_from_moments
 
     res = cfg.resolution
     L = elev_block.shape[1]
@@ -70,23 +72,9 @@ def _features_block(elev_block, row_offset, cfg: MapConfig, total_rows: int):
             acc["Syz"] += mz * cy
             acc["Szz"] += mz * z
 
-    n_safe = jnp.maximum(acc["n"], 1.0)
-    xx = acc["Sxx"] - acc["Sx"] ** 2 / n_safe
-    yy = acc["Syy"] - acc["Sy"] ** 2 / n_safe
-    zz = acc["Szz"] - acc["Sz"] ** 2 / n_safe
-    xy = acc["Sxy"] - acc["Sx"] * acc["Sy"] / n_safe
-    xz = acc["Sxz"] - acc["Sx"] * acc["Sz"] / n_safe
-    yz = acc["Syz"] - acc["Sy"] * acc["Sz"] / n_safe
-    nz, _ = _smallest_eig_normal(xx, xy, xz, yy, yz, zz)
-    slope = jnp.arccos(jnp.clip(nz, 0.0, 1.0))
     interior = jax.lax.dynamic_slice(elev_block, (_HALO, 0), (rows, L))
-    rough = jnp.abs(interior - acc["Sz"] / n_safe)
-    traver = (0.5 * (1.0 - slope / cfg.slope_critical)
-              + 0.5 * (1.0 - rough / cfg.rough_critical))
-    ok = (interior != cfg.invalid_elevation) \
-        & (acc["n"] >= cfg.feature_min_neighbors)
-    return (jnp.where(ok, slope, 0.0), jnp.where(ok, rough, 0.0),
-            jnp.where(ok, traver, cfg.invalid_traversability))
+    slope, rough, traver, _, _ = features_from_moments(acc, interior, cfg)
+    return slope, rough, traver
 
 
 def sharded_features(cfg: MapConfig, mesh: Mesh, axis: str = "shard"):

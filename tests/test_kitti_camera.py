@@ -146,3 +146,44 @@ def test_pipeline_with_camera_colors_map():
     # fused cells carry the sampled image color
     r, g, b = unpack_rgb(jnp.asarray(color[fused]))
     assert (np.asarray(r) == 77).any()
+
+
+def test_convert_drive_with_images_and_camera(tmp_path):
+    from PIL import Image
+
+    drive = os.path.join(tmp_path, "drive")
+    outd = os.path.join(tmp_path, "npz")
+    _write_mini_drive(drive)
+    imgdir = os.path.join(drive, "image_02", "data")
+    os.makedirs(imgdir)
+    for i in range(3):
+        arr = np.full((48, 64, 3), 50 + i, np.uint8)
+        Image.fromarray(arr).save(os.path.join(imgdir, f"{i:010d}.png"))
+    calib = os.path.join(tmp_path, "calib.txt")
+    with open(calib, "w") as f:
+        f.write("P_rect_02: 70 0 32 0 0 70 24 0 0 0 1 0\n")
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write("Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0\n")
+
+    n = kitti.convert_drive(drive, outd, calib_path=calib)
+    assert n == 3
+    cam = np.load(os.path.join(outd, "camera.npz"))
+    assert int(cam["image_height"]) == 48
+
+    from gem_tpu.config import CameraConfig
+    cfg = PipelineConfig(
+        map=MapConfig(length=32, resolution=0.5),
+        body_filter=BodyFilterConfig(mode="none"),
+        camera=CameraConfig(image_height=48, image_width=64,
+                            projection=tuple(float(v)
+                                             for v in cam["projection"])),
+        max_points=1024)
+    f0 = load_npz_frame(cfg, os.path.join(outd, "000000.npz"))
+    assert f0.image is not None and f0.image.shape == (48, 64, 3)
+    pipe = ElevationPipeline(cfg)
+    pipe.process(f0)
+    color = np.asarray(pipe.state.map.color)
+    fused = np.asarray(pipe.state.map.elevation) != -10
+    assert fused.sum() > 5
+    # some fused cells in front of the camera picked up the image color
+    assert (color[fused] != 0).any()
