@@ -81,3 +81,32 @@ def test_sharded_ring_refuses_overlaps():
     # Kalman fuse of (z=0, v=0.1) and (z=2, v=0.3): symmetric value 0.5
     assert z0 == pytest.approx(0.5, abs=1e-5)
     assert z1 == pytest.approx(0.5, abs=1e-5)
+
+
+def test_uncorrected_submaps_untouched():
+    """Pairs beyond the corrected first-n must not re-fuse (repeated events
+    would shrink their variances)."""
+    cfg = PipelineConfig(map=MapConfig(length=8, resolution=0.5),
+                         submap=SubmapConfig(max_submaps=8, capacity=16,
+                                             overlap_radius=50.0))
+    store = sm.init_store(cfg)
+    for z, v in [(0.0, 0.1), (2.0, 0.3), (4.0, 0.2), (6.0, 0.4)]:
+        grid = sm.PointBuffer(
+            x=jnp.asarray([1.0]), y=jnp.asarray([1.0]), z=jnp.asarray([z]),
+            variance=jnp.asarray([v]), intensity=jnp.zeros(1),
+            traver=jnp.full((1,), 0.5), color=jnp.zeros(1, jnp.int32),
+            valid=jnp.ones(1, bool))
+        store = sm.finalize_submap(
+            store, grid, np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32))
+
+    mesh = make_mesh(4, axis="shard")
+    sstore = shard_store(store, mesh)
+    opt = np.asarray(jax.device_get(store.poses[:2]))   # only 2 corrected
+    got, stats = apply_sharded_loop_closure(sstore, cfg, opt, mesh)
+    z = np.asarray(jax.device_get(got.slots.z))
+    var = np.asarray(jax.device_get(got.slots.variance))
+    # submaps 2 and 3 (uncorrected) keep their original content
+    assert z[2, 0] == 4.0 and z[3, 0] == 6.0
+    assert var[2, 0] == np.float32(0.2) and var[3, 0] == np.float32(0.4)
+    # corrected pair 0/1 did fuse
+    assert z[0, 0] != 0.0
