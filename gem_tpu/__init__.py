@@ -28,5 +28,16 @@ from gem_tpu.config import (  # noqa: F401
     SensorConfig,
     RobotConfig,
     PipelineConfig,
+    kitti_config,
+    yq_config,
+    benchmark_config,
 )
 from gem_tpu.core.state import MapState, init_map_state  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep `import gem_tpu` light
+    if name in ("ElevationPipeline", "Frame", "PipelineState", "step"):
+        from gem_tpu.mapping import pipeline as _p
+
+        return getattr(_p, name)
+    raise AttributeError(name)
