@@ -374,6 +374,46 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_viz(args):
+    """Render a PCD (global map / submap) to a top-down PNG — the
+    replacement for the reference's rviz validation loop (SURVEY.md §4)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from gem_tpu.io.pcd import load_pcd
+
+    d = load_pcd(args.pcd)
+    x, y, z = d["x"], d["y"], d["z"]
+    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+    if args.color_by == "rgb" and "rgb" in d and (d["rgb"] != 0).any():
+        rgb = d["rgb"].astype(np.uint32)
+        c = np.stack([(rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF],
+                     -1) / 255.0
+        axes[0].scatter(x, y, c=c, s=args.point_size)
+        axes[0].set_title("color")
+    else:
+        sc = axes[0].scatter(x, y, c=z, cmap="turbo", s=args.point_size)
+        fig.colorbar(sc, ax=axes[0], label="elevation [m]")
+        axes[0].set_title("elevation")
+    tr = d.get("travers", np.zeros_like(x))
+    sc2 = axes[1].scatter(x, y, c=tr, cmap="RdYlGn", s=args.point_size,
+                          vmin=0, vmax=1)
+    fig.colorbar(sc2, ax=axes[1], label="traversability")
+    axes[1].set_title("traversability")
+    for ax in axes:
+        ax.set_aspect("equal")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+    fig.suptitle(os.path.basename(args.pcd))
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=110)
+    print(f"{len(x)} points -> {args.out}")
+    return 0
+
+
 def cmd_info(args):
     import jax
 
@@ -458,6 +498,13 @@ def main(argv=None):
     bp.add_argument("--fuse-backend", default="pallas",
                     choices=["segment", "sort", "pallas"])
     bp.set_defaults(fn=cmd_bench)
+
+    vp = sub.add_parser("viz", help="render a PCD to a top-down PNG")
+    vp.add_argument("pcd")
+    vp.add_argument("--out", default="map.png")
+    vp.add_argument("--color-by", default="rgb", choices=["rgb", "elevation"])
+    vp.add_argument("--point-size", type=float, default=2.0)
+    vp.set_defaults(fn=cmd_viz)
 
     ip = sub.add_parser("info", help="environment + config dump")
     common(ip)
