@@ -227,6 +227,26 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
     return new_state, outputs
 
 
+def scan_steps(state: PipelineState, frames: Frame, cfg: PipelineConfig,
+               fuse_backend: str = "segment"):
+    """Process a whole stacked frame sequence in ONE device program.
+
+    `frames` carries a leading time axis on every leaf.  lax.scan amortises
+    per-step dispatch for offline dataset replay (the dominant production
+    mode for mapping corpora); outputs are reduced to per-frame metrics to
+    keep memory flat.  Returns (final_state, metrics dict of (T,) arrays).
+    """
+    def body(s, frame):
+        s2, out = step(s, frame, cfg=cfg, fuse_backend=fuse_backend)
+        m = {"points_valid": out.metrics["points_valid"],
+             "cells_fused": out.metrics["cells_fused"],
+             "shed_count": out.metrics["shed_count"],
+             "keyframe": out.keyframe_due}
+        return s2, m
+
+    return jax.lax.scan(body, state, frames)
+
+
 class ElevationPipeline:
     """Convenience driver around the jitted step.
 

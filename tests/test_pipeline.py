@@ -98,3 +98,25 @@ def test_submaps_created(replay_result):
 def test_step_jit_stable(replay_result):
     cfg, pipe, _, _ = replay_result
     assert pipe._step._cache_size() == 1
+
+
+def test_scan_replay_matches_stepwise():
+    import functools
+    import jax
+
+    from gem_tpu.mapping.pipeline import init_pipeline_state, scan_steps, step
+
+    cfg = _small_cfg(max_points=512)
+    frames = [f for f, _, _ in synthetic_frames(cfg, 5, n_points=400,
+                                                speed=0.5, seed=8)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x)
+                                                  for x in xs]), *frames)
+    s_scan, metrics = jax.jit(functools.partial(scan_steps, cfg=cfg))(
+        init_pipeline_state(cfg), stacked)
+    s = init_pipeline_state(cfg)
+    for fr in frames:
+        s, _ = jax.jit(functools.partial(step, cfg=cfg))(s, fr)
+    np.testing.assert_array_equal(np.asarray(s_scan.map.elevation),
+                                  np.asarray(s.map.elevation))
+    assert metrics["points_valid"].shape == (5,)
+    assert int(s_scan.frame_idx) == 5
