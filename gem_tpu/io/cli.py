@@ -147,6 +147,16 @@ def cmd_run(args):
     t0 = time.time()
     n = 0
     last_t = t0
+
+    use_scan = args.scan and args.scan > 1
+    scan_fn = None
+    if use_scan:
+        from gem_tpu.mapping.pipeline import scan_steps
+
+        scan_fn = jax.jit(functools.partial(
+            scan_steps, cfg=cfg, fuse_backend=pipe.fuse_backend))
+
+    batch = []
     with trace(args.profile):
         for frame in _frames(cfg, args):
             # watchdog (the reference arms a timer at min_update_rate but
@@ -158,6 +168,18 @@ def cmd_run(args):
                       f"(max_update_gap={args.max_update_gap}s)",
                       file=sys.stderr, flush=True)
             last_t = now
+
+            if use_scan:
+                batch.append(frame)
+                if len(batch) == args.scan:
+                    stacked = jax.tree.map(
+                        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *batch)
+                    pipe.state, _ = scan_fn(pipe.state, stacked)
+                    n += len(batch)
+                    batch = []
+                continue
+
             out = pipe.process(frame)
             n += 1
             if args.log_every and n % args.log_every == 0:
@@ -165,6 +187,9 @@ def cmd_run(args):
                                  out.metrics)
                 print(f"[{n}] {json.dumps(m)}", flush=True)
                 metrics_log.log(n, out.metrics)
+        for frame in batch:          # scan tail shorter than T: stepwise
+            pipe.process(frame)
+            n += 1
         jax.block_until_ready(pipe.state.map.elevation)
     metrics_log.close()
     dt = time.time() - t0
@@ -448,8 +473,12 @@ def main(argv=None):
     rp.add_argument("--frames", type=int, default=100)
     rp.add_argument("--speed", type=float, default=0.5)
     rp.add_argument("--seed", type=int, default=0)
-    rp.add_argument("--fuse-backend", default="segment",
-                    choices=["segment", "sort", "pallas"])
+    rp.add_argument("--fuse-backend", default="auto",
+                    choices=["auto", "segment", "sort", "pallas"])
+    rp.add_argument("--scan", type=int, default=0, metavar="T",
+                    help="offline scan replay: pack T frames per device "
+                         "program (highest throughput; frames count must "
+                         "divide by T)")
     rp.add_argument("--log-every", type=int, default=0,
                     help="print metrics every N frames (each print fetches "
                          "device state — expensive over a remote TPU relay)")

@@ -256,8 +256,13 @@ class ElevationPipeline:
     the device, so host frame prep overlaps device compute.
     """
 
-    def __init__(self, cfg: PipelineConfig, fuse_backend: str = "segment"):
+    def __init__(self, cfg: PipelineConfig, fuse_backend: str = "auto"):
+        if fuse_backend == "auto":
+            # the Pallas kernel needs a real TPU; XLA segment ops elsewhere
+            fuse_backend = ("pallas" if jax.default_backend() == "tpu"
+                            else "segment")
         self.cfg = cfg
+        self.fuse_backend = fuse_backend
         # NOTE: no donate_argnums here.  Donating the state is the natural
         # move (it dies every frame), but this image's tunneled axon runtime
         # hangs forever when fetching scalars aliased into donated buffers;
