@@ -66,12 +66,13 @@ def main():
     length = args.length or (256 if args.quick else 1000)
     n_points = args.points or (16384 if args.quick else 1048576)
     cfg = benchmark_config(length=length, max_points=n_points)
-    # keyframe machinery off the hot path for the throughput number
-    cfg = cfg.replace(submap=cfg.submap)
+    # NOTE: keyframe/submap bookkeeping stays ENABLED — it is part of the
+    # reference's per-frame work and the honest cost.
 
+    n_frames = 8 if args.quick else 32
     frames = []
     state = init_pipeline_state(cfg)
-    for frame, _, _ in synthetic_frames(cfg, 8, n_points=n_points,
+    for frame, _, _ in synthetic_frames(cfg, n_frames, n_points=n_points,
                                         speed=0.4, seed=0,
                                         max_range=length * 0.05):
         frames.append(jax.device_put(frame))
@@ -101,9 +102,9 @@ def main():
 
         from gem_tpu.mapping.pipeline import scan_steps
 
-        T = 8 if args.quick else 32
+        T = len(frames)    # divide by the REAL stacked frame count
         stacked = jax.device_put(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *frames[:T]))
+            jax.tree.map(lambda *xs: jnp.stack(xs), *frames))
         scan_fn = jax.jit(functools.partial(
             scan_steps, cfg=cfg, fuse_backend=args.fuse_backend))
         s2, _ = scan_fn(state, stacked)

@@ -175,18 +175,24 @@ def cmd_run(args):
                     stacked = jax.tree.map(
                         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                         *batch)
-                    pipe.state, _ = scan_fn(pipe.state, stacked)
+                    pipe.state, scan_m = scan_fn(pipe.state, stacked)
                     n += len(batch)
                     batch = []
+                    if args.metrics_out:
+                        m = jax.tree.map(np.asarray, scan_m)
+                        for t in range(args.scan):
+                            metrics_log.log(n - args.scan + t + 1,
+                                            {k: v[t] for k, v in m.items()})
                 continue
 
             out = pipe.process(frame)
             n += 1
+            if args.metrics_out:
+                metrics_log.log(n, out.metrics)
             if args.log_every and n % args.log_every == 0:
                 m = jax.tree.map(lambda x: np.asarray(x).tolist(),
                                  out.metrics)
                 print(f"[{n}] {json.dumps(m)}", flush=True)
-                metrics_log.log(n, out.metrics)
         for frame in batch:          # scan tail shorter than T: stepwise
             pipe.process(frame)
             n += 1
@@ -210,7 +216,9 @@ def cmd_run(args):
             opt_poses = rec.poses
         else:
             # demo: simulate the SLAM optimiser correcting accumulated drift
-            k = int(pipe.state.submaps.num_submaps)
+            # (the ring may have wrapped: clamp to the stored slot count)
+            k = min(int(pipe.state.submaps.num_submaps),
+                    pipe.state.submaps.counts.shape[0])
             opt_poses = np.asarray(pipe.state.submaps.poses[:k])
             drift = np.linspace(0, 1, max(k, 1))[:, None] * \
                 np.asarray([0.5, -0.3, 0.05, 0, 0, 0, 0], np.float32)
@@ -254,14 +262,17 @@ def cmd_run(args):
                          cat["valid"].any() else 1.0),
                    float(np.abs(cat["y"][cat["valid"]]).max() if
                          cat["valid"].any() else 1.0)) + 2.0
-        dim = int(min(512, 2 * span / cfg.map.resolution))
+        # cap the base grid at 512^2 voxels by COARSENING the resolution so
+        # the pyramid always covers the whole map
+        dim = int(min(512, np.ceil(2 * span / cfg.map.resolution)))
+        voxel_res = max(cfg.map.resolution, 2 * span / dim)
         origin = (-span, -span, -10.0)
         shape = (dim, dim, 128)
         road, obs = build_pyramid(
             jnp.asarray(cat["x"]), jnp.asarray(cat["y"]),
             jnp.asarray(cat["z"]), jnp.asarray(cat["color"]),
             jnp.asarray(cat["traver"]), jnp.asarray(cat["valid"]),
-            origin=origin, base_resolution=cfg.map.resolution,
+            origin=origin, base_resolution=voxel_res,
             shape=shape, travers_threshold=cfg.traversability_threshold)
         out = {}
         for name, levels in (("road", road), ("obstacle", obs)):
@@ -503,7 +514,10 @@ def main(argv=None):
     rp.add_argument("--loop-demo", action="store_true",
                     help="simulate a loop closure (drift-corrected poses) "
                          "and save before/after maps")
-    rp.add_argument("--metrics-out", help="JSONL metrics stream path")
+    rp.add_argument("--metrics-out",
+                    help="JSONL metrics stream path (one record per frame; "
+                         "fetches device metrics each frame — expensive "
+                         "over a remote TPU relay)")
     rp.add_argument("--profile", help="jax.profiler trace directory")
     rp.add_argument("--max-update-gap", type=float, default=0.0,
                     help="warn when the inter-frame gap exceeds this many "

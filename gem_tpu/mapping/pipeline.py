@@ -71,7 +71,6 @@ class PipelineState:
     submaps: sm.SubmapStore
     jump_odom: jax.Array       # bool: loop-closure jump unsettled
     jump_count: jax.Array      # i32 consecutive settled frames
-    jump_fresh: jax.Array      # bool: first settled frame (suppresses shed)
     last_track_z: jax.Array    # f32
     last_keyframe_xy: jax.Array  # (2,)
     frame_idx: jax.Array       # i32
@@ -96,7 +95,6 @@ def init_pipeline_state(cfg: PipelineConfig) -> PipelineState:
         submaps=sm.init_store(cfg),
         jump_odom=jnp.zeros((), bool),
         jump_count=jnp.int32(0),
-        jump_fresh=jnp.zeros((), bool),
         last_track_z=jnp.float32(0.0),
         last_keyframe_xy=jnp.zeros((2,), jnp.float32),
         frame_idx=jnp.int32(0),
@@ -210,7 +208,7 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
 
     new_state = PipelineState(
         map=map_state, motion=motion, submaps=submaps,
-        jump_odom=jump_odom, jump_count=jump_count, jump_fresh=jump_fresh,
+        jump_odom=jump_odom, jump_count=jump_count,
         last_track_z=track[2], last_keyframe_xy=last_keyframe_xy,
         frame_idx=state.frame_idx + 1,
     )

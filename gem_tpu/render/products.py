@@ -52,14 +52,19 @@ def costmap_from_points(xs, ys, travers, valid, threshold: float,
                         origin_xy, resolution: float, size: int):
     """Rasterise a point record (e.g. submap export) into a costmap whose
     (0, 0) corner sits at `origin_xy`."""
-    ix = ((xs - origin_xy[0]) / resolution).astype(jnp.int32)
-    iy = ((ys - origin_xy[1]) / resolution).astype(jnp.int32)
+    # floor, not trunc-toward-zero: points just below the origin must fall
+    # OUTSIDE the grid rather than into row/col 0
+    ix = jnp.floor((xs - origin_xy[0]) / resolution).astype(jnp.int32)
+    iy = jnp.floor((ys - origin_xy[1]) / resolution).astype(jnp.int32)
     ok = valid & (ix >= 0) & (ix < size) & (iy >= 0) & (iy < size)
     flat = jnp.where(ok, ix * size + iy, size * size)
     cost = jnp.where(travers > threshold, FREE_SPACE, LETHAL_OBSTACLE)
-    grid = jnp.full((size * size + 1,), NO_INFORMATION, jnp.int32)
-    # later points win, like sequential callback overwrites
-    grid = grid.at[flat].set(cost, mode="drop")
+    # deterministic combine for duplicate cells: LETHAL (254) beats FREE (0)
+    # (XLA .at[].set with colliding indices is order-undefined); empties stay
+    # at the -1 sentinel and become NO_INFORMATION
+    grid = jnp.full((size * size + 1,), -1, jnp.int32)
+    grid = grid.at[flat].max(cost, mode="drop")
+    grid = jnp.where(grid < 0, NO_INFORMATION, grid)
     return grid[:-1].reshape(size, size).astype(jnp.uint8)
 
 
@@ -87,9 +92,9 @@ def inflate_costmap(costmap, radius_cells: int):
 
 
 def _geographic_view(plane, start):
-    """Rotate a storage-indexed plane into geographic alignment (the
-    orthomosaic writes pixel (geo_x, geo_y), src/ElevationMap.cpp:129-131)."""
-    L = plane.shape[0]
+    """Rotate a storage-indexed plane (2D or (L, L, C)) into geographic
+    alignment (the orthomosaic writes pixel (geo_x, geo_y),
+    src/ElevationMap.cpp:129-131)."""
     return jnp.roll(plane, shift=(-start[0], -start[1]), axis=(0, 1))
 
 
@@ -103,11 +108,7 @@ def orthomosaic(state: MapState, cfg: MapConfig, traver=None):
     g = jnp.where(valid, g, 0)
     b = jnp.where(valid, b, 0)
     img = jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
-    return jnp.stack([
-        _geographic_view(img[..., 0], state.start),
-        _geographic_view(img[..., 1], state.start),
-        _geographic_view(img[..., 2], state.start),
-    ], axis=-1)
+    return _geographic_view(img, state.start)
 
 
 def elevation_heatmap(state: MapState, cfg: MapConfig, vmin=None, vmax=None):
@@ -126,8 +127,7 @@ def elevation_heatmap(state: MapState, cfg: MapConfig, vmin=None, vmax=None):
     b = jnp.clip(1.25 - 1.5 * t, 0, 1)
     img = jnp.stack([r, g, b], axis=-1) * 255.0
     img = jnp.where(valid[..., None], img, 0.0).astype(jnp.uint8)
-    return jnp.stack([_geographic_view(img[..., c], state.start)
-                      for c in range(3)], axis=-1)
+    return _geographic_view(img, state.start)
 
 
 def grid_point_cloud(state: MapState, cfg: MapConfig, traver=None):

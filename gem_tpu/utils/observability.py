@@ -24,7 +24,13 @@ import numpy as np
 
 class PhaseTimer:
     """Accumulates {phase: seconds}; `with timer.phase("fuse"): ...` blocks
-    on device completion at exit so phases attribute honestly."""
+    on device completion at exit.
+
+    NOTE: only the EXIT is synchronised — with async dispatch, device work
+    still in flight from earlier phases is billed to the current one.  For
+    honest per-phase attribution, sync before entering (e.g. block on the
+    previous phase's output), or time whole programs instead
+    (bench/kernels.py)."""
 
     def __init__(self):
         self.totals: dict[str, float] = {}
