@@ -62,3 +62,23 @@ def test_cli_unknown_yaml_key_rejected(tmp_path):
         f.write("map:\n  lenght: 24\n")
     with pytest.raises(KeyError):
         main(["run", "--frames", "1", "--config", cfg_path])
+
+
+def test_cli_scan_mode_matches_stepwise(tmp_path):
+    a = os.path.join(tmp_path, "a.npz")
+    b = os.path.join(tmp_path, "b.npz")
+    rc = main(["run", "--frames", "12", "--max-points", "512",
+               "--checkpoint", a])
+    assert rc == 0
+    rc = main(["run", "--frames", "12", "--max-points", "512",
+               "--scan", "4", "--checkpoint", b])
+    assert rc == 0
+    da, db = np.load(a), np.load(b)
+    np.testing.assert_array_equal(da["map/elevation"], db["map/elevation"])
+
+
+def test_cli_scan_with_tail(tmp_path):
+    # 10 frames, scan 4 -> 2 scans + 2 stepwise tail frames
+    rc = main(["run", "--frames", "10", "--max-points", "256",
+               "--scan", "4"])
+    assert rc == 0
