@@ -450,6 +450,59 @@ def cmd_viz(args):
     return 0
 
 
+def cmd_selftest(args):
+    """On-device validation for deployments: replay a short synthetic
+    sequence on the default accelerator, compare the final elevation plane
+    against the CPU backend, and check the map is live.  Exit 0 = healthy."""
+    import functools
+
+    import numpy as np
+    import jax
+
+    from gem_tpu.config import (BodyFilterConfig, MapConfig, PipelineConfig,
+                                SensorConfig)
+    from gem_tpu.io.replay import synthetic_frames
+    from gem_tpu.mapping.pipeline import init_pipeline_state, step
+
+    cfg = PipelineConfig(
+        map=MapConfig(length=64, resolution=0.25, max_shift_cells=8),
+        sensor=SensorConfig(model="laser"),
+        body_filter=BodyFilterConfig(mode="none"),
+        max_points=4096,
+    )
+    frames = [f for f, _, _ in synthetic_frames(cfg, 6, n_points=4096,
+                                                speed=0.4, seed=0)]
+    dev = jax.devices()[0]
+    backend = "pallas" if dev.platform == "tpu" else "segment"
+    f_dev = jax.jit(functools.partial(step, cfg=cfg, fuse_backend=backend))
+    s = jax.device_put(init_pipeline_state(cfg), dev)
+    for fr in frames:
+        s, _ = f_dev(s, jax.device_put(fr, dev))
+    e_dev = np.asarray(s.map.elevation)
+
+    cpu = jax.devices("cpu")[0]
+    f_cpu = jax.jit(functools.partial(step, cfg=cfg,
+                                      fuse_backend="segment"))
+    sc = jax.device_put(init_pipeline_state(cfg), cpu)
+    for fr in frames:
+        sc, _ = f_cpu(sc, jax.device_put(fr, cpu))
+    e_cpu = np.asarray(sc.map.elevation)
+
+    fused = int((e_dev != -10).sum())
+    both = (e_dev != -10) & (e_cpu != -10)
+    agree = float(((e_dev != -10) == (e_cpu != -10)).mean())
+    rmse = float(np.sqrt(np.mean((e_dev[both] - e_cpu[both]) ** 2))) \
+        if both.any() else float("inf")
+    ok = fused > 100 and agree > 0.95 and rmse < 0.05
+    print(json.dumps({
+        "device": str(dev), "fuse_backend": backend, "fused_cells": fused,
+        "validity_agreement": round(agree, 4),
+        "rmse_vs_cpu_m": round(rmse, 6),
+        "healthy": ok,
+    }))
+    return 0 if ok else 1
+
+
 def cmd_info(args):
     import jax
 
@@ -541,6 +594,10 @@ def main(argv=None):
     bp.add_argument("--fuse-backend", default="pallas",
                     choices=["segment", "sort", "pallas"])
     bp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("selftest", help="on-device health check (device "
+                                         "vs CPU parity)")
+    sp.set_defaults(fn=cmd_selftest)
 
     vp = sub.add_parser("viz", help="render a PCD to a top-down PNG")
     vp.add_argument("pcd")
