@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from gem_tpu.config import PipelineConfig
 from gem_tpu.global_map.submaps import PointBuffer, SubmapStore
 from gem_tpu.motion.updater import quat_to_rotmat
+from gem_tpu.utils.precision import HIGHEST, matmul as _mm
 
 
 def pose_to_matrix(pose7):
@@ -47,8 +48,8 @@ def relative_transforms(opt_poses, traj_poses):
         R = Tt[:3, :3]
         inv = jnp.eye(4, dtype=jnp.float32)
         inv = inv.at[:3, :3].set(R.T)
-        inv = inv.at[:3, 3].set(-R.T @ Tt[:3, 3])
-        return To @ inv
+        inv = inv.at[:3, 3].set(_mm(-R.T, Tt[:3, 3]))
+        return _mm(To, inv)
     return jax.vmap(one)(jnp.asarray(opt_poses, jnp.float32),
                          jnp.asarray(traj_poses, jnp.float32))
 
@@ -58,7 +59,8 @@ def transform_submaps(slots: PointBuffer, transforms) -> PointBuffer:
     pts = jnp.stack([slots.x, slots.y, slots.z], axis=-1)     # (K, C, 3)
     R = transforms[:, :3, :3]
     t = transforms[:, :3, 3]
-    moved = jnp.einsum("kij,kcj->kci", R, pts) + t[:, None, :]
+    moved = jnp.einsum("kij,kcj->kci", R, pts,
+                       precision=HIGHEST) + t[:, None, :]
     return slots.replace(x=moved[..., 0], y=moved[..., 1], z=moved[..., 2])
 
 

@@ -21,8 +21,6 @@ from gem_tpu.core import index_math as im
 from gem_tpu.core.move import ShedCells
 from gem_tpu.core.state import MapState
 
-FIELDS = ("x", "y", "z", "variance", "intensity", "traver")
-
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -90,7 +90,7 @@ def synthetic_frames(cfg: PipelineConfig, n_frames: int,
     world = SyntheticWorld(seed=seed)
     rng = np.random.default_rng(seed + 1)
     P = cfg.max_points
-    n_points = n_points or min(P, 8192)
+    n_points = min(n_points or min(P, 8192), P)
     if max_range is None:
         max_range = cfg.map.length * cfg.map.resolution * 0.45
 
@@ -201,13 +201,15 @@ def load_npz_frame(cfg: PipelineConfig, path) -> Frame:
     import io as _io
 
     d = np.load(_io.BytesIO(path) if isinstance(path, bytes) else path)
+    # keep everything numpy: eager jnp.asarray would issue per-frame device
+    # puts through the (possibly tunneled) transport before the jit call
     kw = {}
     if "pose_quat" in d:
-        kw["pose_quat"] = jnp.asarray(d["pose_quat"], jnp.float32)
+        kw["pose_quat"] = np.asarray(d["pose_quat"], np.float32)
     if "pose_cov" in d:
-        kw["pose_cov"] = jnp.asarray(d["pose_cov"], jnp.float32)
+        kw["pose_cov"] = np.asarray(d["pose_cov"], np.float32)
     if "image" in d:
-        kw["image"] = jnp.asarray(d["image"])
+        kw["image"] = np.asarray(d["image"])
     get = lambda k: d[k] if k in d.files else None
     return pad_frame(cfg, d["points"], get("intensity"), get("colors"),
                      get("transform"), get("track_position"), **kw)

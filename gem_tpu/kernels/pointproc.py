@@ -29,6 +29,7 @@ from gem_tpu.core import index_math as im
 from gem_tpu.core.state import MapState, pack_rgb
 from gem_tpu.kernels import scatter
 from gem_tpu.sensors.models import height_variance
+from gem_tpu.utils.precision import matmul as _mm
 
 
 @jax.tree_util.register_dataclass
@@ -56,7 +57,7 @@ def colorize(points, image, projection):
     H, W = image.shape[0], image.shape[1]
     P = jnp.asarray(projection, jnp.float32).reshape(3, 4)
     homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
-    img_pt = homo @ P.T                                   # (N, 3)
+    img_pt = _mm(homo, P.T)                               # (N, 3)
     z = img_pt[:, 2]
     u = (img_pt[:, 0] / jnp.where(z == 0, 1e-9, z))
     v = (img_pt[:, 1] / jnp.where(z == 0, 1e-9, z))
@@ -108,7 +109,9 @@ def process_points(
     T = jnp.asarray(transform, jnp.float32)
 
     # sensor -> map transform (one (P,3)x(3,3) matmul on the MXU)
-    ts = points @ T[:3, :3].T + T[:3, 3]
+    # exact-f32 matmul: the MXU's default bf16 input rounding costs up to
+    # ~7 cm on +/-40 m coordinates (utils/precision.py)
+    ts = _mm(points, T[:3, :3].T) + T[:3, 3]
     height = ts[:, 2]
 
     # colorization

@@ -83,10 +83,8 @@ def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
         [suffix[:, 1:], jnp.full((R, 1), jnp.inf, g.dtype)], axis=1)
 
     # --- 3. per-cell lookup ------------------------------------------------
-    rows = jnp.arange(L, dtype=jnp.float32)
     grow = jnp.mod(jnp.arange(L) - state.start[0] + L, L).astype(jnp.float32)
     gcol = jnp.mod(jnp.arange(L) - state.start[1] + L, L).astype(jnp.float32)
-    del rows
     dx = grow[:, None] - robot                                    # (L, L)
     dy = gcol[None, :] - robot
     d = jnp.sqrt(dx * dx + dy * dy)

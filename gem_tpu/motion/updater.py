@@ -20,6 +20,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from gem_tpu.utils.precision import matmul as _mm
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -73,7 +75,7 @@ def reduced_covariance(quat, pose_cov):
     jac = jac.at[:3, :3].set(jnp.eye(3))
     jac = jac.at[3, 3:].set(jnp.asarray([jnp.cos(yaw) * tp,
                                          jnp.sin(yaw) * tp, 1.0]))
-    return jac @ jnp.asarray(pose_cov, jnp.float32) @ jac.T
+    return _mm(_mm(jac, jnp.asarray(pose_cov, jnp.float32)), jac.T)
 
 
 def relative_covariance(position, quat, reduced, prev: MotionState):
@@ -84,20 +86,20 @@ def relative_covariance(position, quat, reduced, prev: MotionState):
                           jnp.float32)
 
     R_prev = quat_to_rotmat(prev.prev_quat)
-    v_dt = R_prev.T @ (jnp.asarray(position, jnp.float32)
-                       - prev.prev_position)
+    v_dt = _mm(R_prev.T, jnp.asarray(position, jnp.float32)
+               - prev.prev_position)
 
     ez_skew = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0],
                            [0.0, 0.0, 0.0]], jnp.float32)
     F = jnp.eye(4, dtype=jnp.float32)
-    F = F.at[:3, 3].set(ez_skew @ R_tilde @ v_dt)
+    F = F.at[:3, 3].set(_mm(_mm(ez_skew, R_tilde), v_dt))
 
     invG = jnp.zeros((4, 4), jnp.float32).at[3, 3].set(1.0)
     invGT = invG
     invG = invG.at[:3, :3].set(R_tilde.T)
     invGT = invGT.at[:3, :3].set(R_tilde)
 
-    return invG @ (reduced - F @ prev.prev_reduced_cov @ F.T) @ invGT
+    return _mm(_mm(invG, (reduced - _mm(_mm(F, prev.prev_reduced_cov), F.T))), invGT)
 
 
 def process_noise(position, quat, pose_cov, motion: MotionState,
@@ -113,7 +115,7 @@ def process_noise(position, quat, pose_cov, motion: MotionState,
     rel = relative_covariance(position, quat, reduced, motion)
     pos_cov = rel[:3, :3]
     J_r = -quat_to_rotmat(quat)
-    var_update = (J_r @ pos_cov @ J_r.T)[2, 2]
+    var_update = _mm(_mm(J_r, pos_cov), J_r.T)[2, 2]
     new_motion = MotionState(
         prev_position=jnp.asarray(position, jnp.float32),
         prev_quat=jnp.asarray(quat, jnp.float32),

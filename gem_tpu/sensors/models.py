@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gem_tpu.config import SensorConfig
+from gem_tpu.utils.precision import HIGHEST, matmul as _mm
 
 
 def _laser(cfg: SensorConfig, points, distance):
@@ -103,7 +104,7 @@ def height_variance(cfg: SensorConfig, points, sensor_jacobian,
     sensor_term = (js[0] ** 2 + js[1] ** 2) * var_lat + js[2] ** 2 * var_norm
 
     # J_q = p_mul_c_bm_t @ (skew(c_sb_t @ r) + b_r_bs_skew) per point.
-    sp = points @ jnp.asarray(c_sb_t, jnp.float32).T          # (N, 3)
+    sp = _mm(points, jnp.asarray(c_sb_t, jnp.float32).T)      # (N, 3)
     zeros = jnp.zeros_like(sp[:, 0])
     skew = jnp.stack([
         jnp.stack([zeros, -sp[:, 2], sp[:, 1]], axis=-1),
@@ -111,10 +112,12 @@ def height_variance(cfg: SensorConfig, points, sensor_jacobian,
         jnp.stack([-sp[:, 1], sp[:, 0], zeros], axis=-1),
     ], axis=-2)                                               # (N, 3, 3)
     skew = skew + jnp.asarray(b_r_bs_skew, jnp.float32)
-    jq = jnp.einsum("i,nij->nj", jnp.asarray(p_mul_c_bm_t, jnp.float32).reshape(3),
-                    skew)                                      # (N, 3)
+    jq = jnp.einsum("i,nij->nj",
+                    jnp.asarray(p_mul_c_bm_t, jnp.float32).reshape(3),
+                    skew, precision=HIGHEST)                   # (N, 3)
     sigma_q = jnp.asarray(rotation_variance, jnp.float32)
-    rot_term = jnp.einsum("ni,ij,nj->n", jq, sigma_q, jq)
+    rot_term = jnp.einsum("ni,ij,nj->n", jq, sigma_q, jq,
+                          precision=HIGHEST)
     return rot_term + sensor_term
 
 
@@ -131,8 +134,8 @@ def jacobian_ingredients(rotation_map_to_base, rotation_base_to_sensor,
     P = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
     c_bm_t = R_mb.T
     c_sb_t = R_bs.T
-    sensor_jacobian = P @ (c_bm_t @ c_sb_t)
-    p_mul_c_bm_t = P @ c_bm_t
+    sensor_jacobian = _mm(P, _mm(c_bm_t, c_sb_t))
+    p_mul_c_bm_t = _mm(P, c_bm_t)
     b_r_bs_skew = jnp.asarray([
         [0.0, -t_bs[2], t_bs[1]],
         [t_bs[2], 0.0, -t_bs[0]],
