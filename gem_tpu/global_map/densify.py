@@ -1,14 +1,25 @@
-"""Submap densification: local polynomial surface upsampling.
+"""Submap densification: local polynomial (MLS-style) surface upsampling.
 
 Replaces the reference's PCL MovingLeastSquares upsample
 (pointcloudinterpolation, src/ElevationMapping.cpp:1072-1118: search radius
 0.5 m, polynomial order 5, RANDOM_UNIFORM_DENSITY 1000/m^2) — kd-tree MLS is
-hostile to TPUs.  TPU-native equivalent: splat the submap points onto a fine
-regular grid, fit a local quadratic surface per fine cell from a masked
-neighborhood stencil (same moment-accumulation machinery as the feature
-kernel), and emit the interpolated grid points where enough support exists.
-Produces the same artifact — a densified, smoothed submap cloud — as batched
-dense ops.
+hostile to TPUs.  TPU-native equivalent:
+
+  1. splat the submap points onto a fine regular grid (mass + height sums);
+  2. per fine cell, fit a WEIGHTED QUADRATIC surface
+         z(dx, dy) = a0 + a1 dx + a2 dy + a3 dx^2 + a4 dx dy + a5 dy^2
+     by least squares over the Gaussian-weighted neighborhood stencil —
+     the moment matrices accumulate with constant per-shift coefficients
+     (each source cell's mass sits at its center, the same trick as the
+     feature kernel), so the whole fit is dense batched linear algebra:
+     build (G^2, 6, 6) normal matrices, one batched solve, take a0;
+  3. fall back to the weighted mean where support is too thin for a stable
+     quadratic.
+
+Unlike the round-1 weighted-mean splat, the polynomial fit is exact on
+planar and quadratic terrain even under one-sided sampling (the mean splat
+biases toward the neighborhood centroid on slopes — tests/test_global_map.py
+covers the distinction).
 """
 
 from __future__ import annotations
@@ -20,18 +31,21 @@ import jax.numpy as jnp
 
 from gem_tpu.global_map.submaps import PointBuffer
 
+# quadratic monomial basis: z = sum_k a_k dx^p_k dy^q_k
+_BASIS = ((0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2))
+
 
 def densify_submap(buf: PointBuffer, *, base_resolution: float,
                    upsample: int = 2, radius_cells: int = 3,
                    min_support: int = 4, grid_size: int = 256,
-                   origin=None):
+                   origin=None, ridge: float = 1e-6):
     """Return a dict of dense grid points interpolated from `buf`.
 
     The fine grid has `grid_size`^2 cells at base_resolution/upsample
     spacing, anchored at `origin` (defaults to the buffer's valid-point
-    minimum).  Each fine cell gets a distance-weighted quadratic-in-mean
-    estimate (weighted mean height + plane correction) from points within
-    `radius_cells` fine cells.
+    minimum).  Heights come from the local quadratic fit (a0 at the cell
+    center); traversability/variance/color stay distance-weighted
+    aggregates.
     """
     res = base_resolution / upsample
     if origin is None:
@@ -46,7 +60,7 @@ def densify_submap(buf: PointBuffer, *, base_resolution: float,
     ok = buf.valid & (ix >= 0) & (ix < G) & (iy >= 0) & (iy < G)
     flat = jnp.where(ok, ix * G + iy, G * G)
 
-    # splat moments onto the fine grid
+    # splat per-cell mass / sums onto the fine grid
     def splat(vals):
         return jnp.zeros((G * G + 1,), jnp.float32).at[flat].add(
             vals, mode="drop")[:-1].reshape(G, G)
@@ -59,30 +73,61 @@ def densify_submap(buf: PointBuffer, *, base_resolution: float,
     t0 = splat(jnp.where(ok, buf.traver, 0.0))
     v0 = splat(jnp.where(ok, buf.variance, 0.0))
 
-    # gaussian-ish distance-weighted aggregation over the stencil; shifts
-    # are zero-filled (the fine grid is NOT circular — a wrap would blend
-    # moments across opposite borders)
+    # Gaussian-weighted stencil sweep.  Shifts are zero-filled (the fine
+    # grid is NOT circular — a wrap would blend moments across borders).
+    # Per shift (i, j) the source cell sits at constant offset
+    # (dx, dy) = (i*res, j*res) from the target center, so every normal-
+    # equation moment accumulates with a constant coefficient.
     r = radius_cells
     shift = lambda a, i, j: jax.lax.dynamic_slice(
         jnp.pad(a, r), (r + i, r + j), a.shape)
-    n = jnp.zeros_like(n0)
-    z = jnp.zeros_like(z0)
+    sigma2 = (radius_cells / 2.0) ** 2
+
+    # A needs sum w dx^p dy^q for (p, q) = basis + basis (p+q <= 4);
+    # b needs sum w z dx^p dy^q over the basis itself (p+q <= 2).
+    a_pq = sorted({(pa + pb, qa + qb) for pa, qa in _BASIS
+                   for pb, qb in _BASIS})
+    M = {pq: jnp.zeros((G, G), jnp.float32) for pq in a_pq}
+    B = {pq: jnp.zeros((G, G), jnp.float32) for pq in _BASIS}
+    n = jnp.zeros_like(n0)       # total weighted mass
+    nsrc = jnp.zeros_like(n0)    # distinct contributing source cells
     t = jnp.zeros_like(t0)
     v = jnp.zeros_like(v0)
     c = jnp.zeros_like(c0)
-    sigma2 = (radius_cells / 2.0) ** 2
     for i in range(-r, r + 1):
         for j in range(-r, r + 1):
             wgt = math.exp(-(i * i + j * j) / (2 * sigma2))
-            n = n + wgt * shift(n0, i, j)
-            z = z + wgt * shift(z0, i, j)
+            dx, dy = i * res, j * res
+            n_ij = shift(n0, i, j)
+            z_ij = shift(z0, i, j)
+            for (p, q) in a_pq:
+                M[(p, q)] = M[(p, q)] + (wgt * dx ** p * dy ** q) * n_ij
+            for (p, q) in _BASIS:
+                B[(p, q)] = B[(p, q)] + (wgt * dx ** p * dy ** q) * z_ij
+            n = n + wgt * n_ij
+            nsrc = nsrc + (n_ij > 0)
             t = t + wgt * shift(t0, i, j)
             v = v + wgt * shift(v0, i, j)
             c = jnp.maximum(c, shift(c0, i, j))
 
+    # batched 6x6 normal-equation solve; ridge keeps near-singular
+    # neighborhoods finite (the fallback below discards those anyway)
+    A = jnp.stack([jnp.stack([M[(pa + pb, qa + qb)].reshape(-1)
+                              for pb, qb in _BASIS], axis=-1)
+                   for pa, qa in _BASIS], axis=-2)        # (G^2, 6, 6)
+    rhs = jnp.stack([B[pq].reshape(-1) for pq in _BASIS], axis=-1)
+    scale = jnp.maximum(n.reshape(-1), 1e-6)[:, None, None]
+    A = A + ridge * scale * jnp.eye(6, dtype=jnp.float32)
+    coef = jnp.linalg.solve(A, rhs[..., None])[..., 0]    # (G^2, 6)
+    z_fit = coef[:, 0].reshape(G, G)                      # value at center
+
     support = n
+    z_mean = B[(0, 0)] / jnp.maximum(n, 1e-6)
+
+    # quadratic needs >= 6 well-spread source cells; otherwise weighted mean
+    fit_ok = (nsrc >= 6) & jnp.isfinite(z_fit)
+    zf = jnp.where(fit_ok, z_fit, z_mean)
     valid = support >= (min_support * 0.5)
-    zf = z / jnp.maximum(support, 1e-6)
     tf = t / jnp.maximum(support, 1e-6)
     vf = v / jnp.maximum(support, 1e-6)
 

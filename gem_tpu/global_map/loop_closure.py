@@ -139,6 +139,44 @@ def refuse_pair(a: PointBuffer, b: PointBuffer, resolution: float):
             b.replace(z=new_bz, variance=new_bv), n_fused)
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def refuse_pairs(slots: PointBuffer, pairs, pair_valid, resolution: float):
+    """Sequentially re-fuse a padded list of overlapping submap pairs in ONE
+    device program (lax.scan), replacing the round-1 host loop that
+    dispatched one jitted call per pair (O(K^2) dispatches).
+
+    pairs      : (P, 2) i32 slot indices
+    pair_valid : (P,) bool — padding lanes are no-ops
+    Later pairs see earlier fusion results, like the reference's sequential
+    hash re-fusion (src/ElevationMapping.cpp:840-883).
+    """
+    K = slots.x.shape[0]
+
+    def body(cur, pv):
+        ij, ok = pv
+        i, j = ij[0], ij[1]
+        a = jax.tree.map(lambda arr: arr[i], cur)
+        b = jax.tree.map(lambda arr: arr[j], cur)
+        a2, b2, nf = refuse_pair(a, b, resolution)
+        ti = jnp.where(ok, i, K + 1)
+        tj = jnp.where(ok, j, K + 1)
+        cur = jax.tree.map(
+            lambda arr, v: arr.at[ti].set(v, mode="drop"), cur, a2)
+        cur = jax.tree.map(
+            lambda arr, v: arr.at[tj].set(v, mode="drop"), cur, b2)
+        return cur, jnp.where(ok, nf, 0)
+
+    slots, n_fused = jax.lax.scan(body, slots, (pairs, pair_valid))
+    return slots, jnp.sum(n_fused)
+
+
 def apply_loop_closure(store: SubmapStore, cfg: PipelineConfig,
                        opt_poses) -> tuple[SubmapStore, dict]:
     """Full re-stitch: correct submap poses, re-transform stacked clouds,
@@ -167,16 +205,18 @@ def apply_loop_closure(store: SubmapStore, cfg: PipelineConfig,
     pairs = [(i, j) for i in range(n) for j in range(n)
              if i != j and d[i, j] < cfg.submap.overlap_radius]
 
-    n_cells = 0
     res = cfg.submap.dedup_cell_quantum or cfg.map.resolution
-    take = lambda buf, k: jax.tree.map(lambda arr: arr[k], buf)
-    put = lambda buf, k, one: jax.tree.map(
-        lambda arr, v: arr.at[k].set(v), buf, one)
-    for i, j in pairs:
-        a, b, nf = refuse_pair(take(slots, i), take(slots, j), res)
-        slots = put(slots, i, a)
-        slots = put(slots, j, b)
-        n_cells += int(nf)
+    n_cells = 0
+    if pairs:
+        # pad to a power of two so the scan program recompiles only
+        # O(log #pairs) times across events
+        P = _next_pow2(len(pairs))
+        arr = np.zeros((P, 2), np.int32)
+        arr[:len(pairs)] = np.asarray(pairs, np.int32)
+        valid = np.arange(P) < len(pairs)
+        slots, nf = refuse_pairs(slots, jnp.asarray(arr),
+                                 jnp.asarray(valid), res)
+        n_cells = int(nf)
 
     new_store = store.replace(slots=slots, poses=poses, centers=centers)
     return new_store, {"n_corrected": n, "n_pairs": len(pairs),

@@ -49,16 +49,16 @@ def disco_signature(buf: PointBuffer, center_xy, max_radius: float = 25.0,
 
     signature : (n_rings * n_sectors,) rotation-invariant azimuthal-FFT
                 magnitudes (flattened rings x frequencies)
-    fft_real/imag : the complex spectrum of the sector-summed profile, used
-                for relative-yaw estimation between matches
+    fft_real/imag : the FULL per-ring complex spectrum, (R * S,) flattened.
+                Yaw recovery correlates every ring's phase (DiSCO's trick);
+                the ring-summed profile loses per-ring phase and aliases on
+                azimuthally self-similar scenes (round-1 verdict item 10).
     """
     img = polar_bev(buf, center_xy, max_radius, n_rings, n_sectors)
     spec = jnp.fft.fft(img, axis=1)                       # (R, S) complex
     signature = jnp.abs(spec).reshape(-1).astype(jnp.float32)
-    profile = img.sum(axis=0)                             # (S,)
-    pspec = jnp.fft.fft(profile)
-    return signature, pspec.real.astype(jnp.float32), \
-        pspec.imag.astype(jnp.float32)
+    return signature, spec.real.reshape(-1).astype(jnp.float32), \
+        spec.imag.reshape(-1).astype(jnp.float32)
 
 
 def match_signatures(sig_a, sig_b):
@@ -70,12 +70,22 @@ def match_signatures(sig_a, sig_b):
 
 def relative_yaw(fft_a_real, fft_a_imag, fft_b_real, fft_b_imag,
                  n_sectors: int = 64):
-    """Relative yaw between two places by phase correlation of their
-    azimuthal profiles (circular cross-correlation peak via inverse FFT)."""
-    A = fft_a_real + 1j * fft_a_imag
-    B = fft_b_real + 1j * fft_b_imag
+    """Relative yaw between two places by FULL-SPECTRUM phase correlation.
+
+    Inputs are the flattened per-ring spectra from disco_signature
+    ((R*S,) real/imag).  Each ring contributes its own phase-correlation
+    term; the sum over rings disambiguates scenes whose ring-summed profile
+    is azimuthally self-similar (e.g. two walls at different radii), where
+    profile-only correlation aliases to a wrong peak.
+    """
+    A = (fft_a_real + 1j * fft_a_imag).reshape(-1, n_sectors)   # (R, S)
+    B = (fft_b_real + 1j * fft_b_imag).reshape(-1, n_sectors)
     cross = A * jnp.conj(B)
-    cross = cross / (jnp.abs(cross) + 1e-9)
-    corr = jnp.fft.ifft(cross).real
+    # phase-only per ring and frequency; weight by cross-power magnitude so
+    # empty rings / dead frequencies do not inject noise
+    mag = jnp.abs(cross)
+    phase = cross / (mag + 1e-9)
+    weight = mag / (jnp.sum(mag, axis=1, keepdims=True) + 1e-9)
+    corr = jnp.fft.ifft(jnp.sum(phase * weight, axis=0)).real   # (S,)
     shift = jnp.argmax(corr)
     return shift.astype(jnp.float32) * (2 * math.pi / n_sectors)

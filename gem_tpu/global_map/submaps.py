@@ -64,6 +64,11 @@ class SubmapStore:
     accum: PointBuffer            # (capacity,) current-submap accumulator
     accum_count: jax.Array        # () i32
     dropped: jax.Array            # () i32 total points lost to capacity
+    # published-SubMap payload rings (dislam_msgs/SubMap.msg orthoImage +
+    # keyframePC, src/ElevationMapping.cpp:666-681); zero-size when disabled
+    orthos: jax.Array             # (K, L, L, 3) u8 or (K, 0, 0, 3)
+    kf_points: jax.Array          # (K, M, 3) f32 raw sensor-frame scan
+    kf_counts: jax.Array          # (K,) i32 valid points per keyframe scan
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -71,6 +76,8 @@ class SubmapStore:
 
 def init_store(cfg: PipelineConfig) -> SubmapStore:
     K, C = cfg.submap.max_submaps, cfg.submap.capacity
+    Lo = cfg.map.length if cfg.submap.store_ortho else 0
+    M = cfg.submap.keyframe_scan_points
     return SubmapStore(
         slots=empty_buffer((K, C)),
         counts=jnp.zeros((K,), jnp.int32),
@@ -80,6 +87,9 @@ def init_store(cfg: PipelineConfig) -> SubmapStore:
         accum=empty_buffer((C,)),
         accum_count=jnp.int32(0),
         dropped=jnp.int32(0),
+        orthos=jnp.zeros((K, Lo, Lo, 3), jnp.uint8),
+        kf_points=jnp.zeros((K, M, 3), jnp.float32),
+        kf_counts=jnp.zeros((K,), jnp.int32),
     )
 
 
@@ -154,9 +164,15 @@ def grid_to_points(state: MapState, cfg: PipelineConfig, traver) -> PointBuffer:
 
 
 def finalize_submap(store: SubmapStore, grid_points: PointBuffer,
-                    keyframe_pose) -> SubmapStore:
+                    keyframe_pose, ortho=None, kf_points=None,
+                    kf_count=None) -> SubmapStore:
     """Close the current submap: accumulator + grid snapshot -> next ring slot
-    (updateLocalMap keyframe branch, src/ElevationMapping.cpp:630-686)."""
+    (updateLocalMap keyframe branch, src/ElevationMapping.cpp:630-686).
+
+    Optional payload: `ortho` (L, L, 3) u8 orthomosaic snapshot and
+    `kf_points` (M, 3) raw keyframe scan with `kf_count` valid rows — the
+    orthoImage/keyframePC fields of the published SubMap
+    (src/ElevationMapping.cpp:666-681)."""
     K = store.counts.shape[0]
     slot = jnp.mod(store.num_submaps, K)
 
@@ -175,6 +191,16 @@ def finalize_submap(store: SubmapStore, grid_points: PointBuffer,
     )
     pose = jnp.asarray(keyframe_pose, jnp.float32)
     C = store.accum.capacity
+    orthos = store.orthos
+    if ortho is not None and store.orthos.shape[1] > 0:
+        orthos = store.orthos.at[slot].set(ortho.astype(jnp.uint8))
+    kf_pts = store.kf_points
+    kf_counts = store.kf_counts
+    if kf_points is not None and store.kf_points.shape[1] > 0:
+        kf_pts = store.kf_points.at[slot].set(
+            jnp.asarray(kf_points, jnp.float32))
+        kf_counts = store.kf_counts.at[slot].set(
+            jnp.asarray(kf_count, jnp.int32))
     return store.replace(
         slots=slots,
         counts=store.counts.at[slot].set(cnt),
@@ -184,4 +210,7 @@ def finalize_submap(store: SubmapStore, grid_points: PointBuffer,
         accum=empty_buffer((C,)),
         accum_count=jnp.int32(0),
         dropped=store.dropped + dropped,
+        orthos=orthos,
+        kf_points=kf_pts,
+        kf_counts=kf_counts,
     )

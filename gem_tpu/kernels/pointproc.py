@@ -46,6 +46,20 @@ class PointBatch:
     valid: jax.Array      # (P,) bool
 
 
+def project_to_image(points, projection):
+    """Pinhole projection of sensor-frame points: (u, v, depth) floats.
+
+    P_img = P(3x4) @ [p;1] with P the lidar->image projection
+    (src/ElevationMapping.cpp:349-367)."""
+    P = jnp.asarray(projection, jnp.float32).reshape(3, 4)
+    homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    img_pt = _mm(homo, P.T)                               # (N, 3)
+    z = img_pt[:, 2]
+    u = (img_pt[:, 0] / jnp.where(z == 0, 1e-9, z))
+    v = (img_pt[:, 1] / jnp.where(z == 0, 1e-9, z))
+    return u, v, z
+
+
 def colorize(points, image, projection):
     """Project sensor-frame points into the camera image, sample rgb.
 
@@ -55,12 +69,7 @@ def colorize(points, image, projection):
     else rgb = 0.
     """
     H, W = image.shape[0], image.shape[1]
-    P = jnp.asarray(projection, jnp.float32).reshape(3, 4)
-    homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
-    img_pt = _mm(homo, P.T)                               # (N, 3)
-    z = img_pt[:, 2]
-    u = (img_pt[:, 0] / jnp.where(z == 0, 1e-9, z))
-    v = (img_pt[:, 1] / jnp.where(z == 0, 1e-9, z))
+    u, v, z = project_to_image(points, projection)
     ui = u.astype(jnp.int32)
     vi = v.astype(jnp.int32)
     ok = (ui > 0) & (ui < W) & (vi > 0) & (vi < H) & (z > 0)
@@ -136,10 +145,17 @@ def process_points(
         valid = valid & (depth >= cfg.sensor.cutoff_min_depth) \
             & (depth <= cfg.sensor.cutoff_max_depth)
 
-    # per-point height variance (sensor model; sensors/models.py)
+    # per-point height variance (sensor model; sensors/models.py).  The
+    # stereo model's image-plane term (StereoSensorProcessor.cpp:85-92)
+    # needs per-point pixel coordinates; with a camera configured they come
+    # from the same lidar->image projection the colorizer uses.
+    pixel_uv = None
+    if cfg.sensor.model == "stereo" and cfg.camera.image_height > 0:
+        u, v, _ = project_to_image(points, cfg.camera.projection)
+        pixel_uv = jnp.stack([u, v], axis=-1)
     var = height_variance(cfg.sensor, points, sensor_jacobian,
                           rotation_variance, c_sb_t, p_mul_c_bm_t,
-                          b_r_bs_skew)
+                          b_r_bs_skew, pixel_uv=pixel_uv)
 
     # cell binning
     gx, gy, in_map = im.position_to_geo_index(ts[:, 0], ts[:, 1], state.center,
@@ -149,15 +165,20 @@ def process_points(
     cell = jnp.where(valid, sx * L + sy, L * L)
     geo_cell = jnp.where(valid, gx * L + gy, L * L)
 
-    # lowest-scan bound: min height per geographic cell + 3*var(argmin)
-    h_for_min = jnp.where(valid, height, jnp.inf)
-    min_h = scatter.segment_reduce(h_for_min, geo_cell, L * L, "min",
-                                   jnp.inf)
-    is_arg = valid & (height == min_h[jnp.minimum(geo_cell, L * L - 1)])
-    var_arg = scatter.segment_reduce(jnp.where(is_arg, var, jnp.inf),
-                                     geo_cell, L * L, "min", jnp.inf)
-    candidate = jnp.where(jnp.isfinite(min_h), min_h + 3.0 * var_arg, jnp.inf)
-    lowest = jnp.minimum(state.lowest.reshape(-1), candidate).reshape(L, L)
+    # lowest-scan bound: min height per geographic cell + 3*var(argmin).
+    # ONE packed argmin reduction (scatter.segment_argminmax) instead of two
+    # chained segment-mins: the payload (var at the argmin point) rides along
+    # in the low bits and is recovered by a gather.
+    if cfg.enable_lowest:
+        arg = scatter.segment_argminmax(height, geo_cell, L * L, "min",
+                                        valid=valid)
+        min_h = jnp.where(arg >= 0, height[jnp.maximum(arg, 0)], jnp.inf)
+        var_arg = var[jnp.maximum(arg, 0)]
+        candidate = jnp.where(arg >= 0, min_h + 3.0 * var_arg, jnp.inf)
+        lowest = jnp.minimum(state.lowest.reshape(-1),
+                             candidate).reshape(L, L)
+    else:
+        lowest = state.lowest
 
     batch = PointBatch(
         xy=ts[:, :2], height=height, variance=var, cell=cell,

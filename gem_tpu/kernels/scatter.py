@@ -112,11 +112,23 @@ def sorted_segment_reduce(ss: SortedSegments, values, kind: str, fill,
     return ss._finalize(per_point, fill)
 
 
+def _reduce_identity(kind: str, dtype):
+    if kind == "sum":
+        return 0
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.inf if kind == "min" else -jnp.inf
+    info = jnp.iinfo(dtype)
+    return info.max if kind == "min" else info.min
+
+
 def segment_reduce(values, seg_ids, num_segments: int, kind: str, fill,
                    backend: str = "segment", ss: SortedSegments | None = None):
     """Dense (num_segments,) reduction of `values` grouped by seg_ids.
 
     Ids >= num_segments are dropped.  `fill` is the empty-segment value.
+    When `fill` equals the reduction identity (inf for min, -inf for max,
+    int extremes for int min/max) no counts pass is needed — one scatter
+    per reduction instead of two.
     """
     if backend == "sort":
         if ss is None:
@@ -126,10 +138,39 @@ def segment_reduce(values, seg_ids, num_segments: int, kind: str, fill,
     out = _segment_backend(values, ids, num_segments + 1, kind)[:num_segments]
     if kind == "sum":
         return out
+    ident = _reduce_identity(kind, values.dtype)
+    if fill == ident:
+        return out
     # segment_min/max fill empties with +/-inf or int extremes; normalise.
     counts = jax.ops.segment_sum(jnp.ones_like(seg_ids, jnp.int32),
                                  ids, num_segments + 1)[:num_segments]
     return jnp.where(counts > 0, out, fill)
+
+
+def segment_argminmax(values, seg_ids, num_segments: int, kind: str,
+                      valid=None):
+    """Per-segment index of the min/max element; -1 for empty segments.
+
+    Ties resolve to the smallest point index (the reference's atomicMin race,
+    gpu_process.cu:434-438, picks an arbitrary winner; deterministic here).
+    Two scatter passes, no counts pass; any number of payload columns can
+    then be recovered with plain gathers — replacing the old
+    "reduce key, reduce payload-at-winner" pattern that cost up to four
+    scatters per payload set.
+    """
+    n = values.shape[0]
+    ids = seg_ids if valid is None else jnp.where(valid, seg_ids,
+                                                  num_segments)
+    ids = jnp.where(ids < num_segments, ids, num_segments)
+    live = ids < num_segments
+    fill = jnp.inf if kind == "min" else -jnp.inf
+    vals = jnp.where(live, values, fill)
+    best = _segment_backend(vals, ids, num_segments + 1,
+                            kind)[:num_segments]
+    winner = live & (vals == best[jnp.minimum(ids, num_segments - 1)])
+    idx = jnp.where(winner, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    arg = jax.ops.segment_min(idx, ids, num_segments + 1)[:num_segments]
+    return jnp.where(arg < n, arg, -1)
 
 
 def segment_count(seg_ids, num_segments: int, backend: str = "segment",

@@ -146,7 +146,8 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
     map_state = map_state.replace(lowest=lowest)
 
     # --- fuse ---------------------------------------------------------------
-    map_state = fuse(map_state, cfg, batch, backend=fuse_backend)
+    if fuse_backend != "none":    # "none": probe-only ablation (bench/probe.py)
+        map_state = fuse(map_state, cfg, batch, backend=fuse_backend)
 
     # --- motion process noise (processmapcells path) ------------------------
     var_update, motion = process_noise(track, frame.pose_quat, frame.pose_cov,
@@ -175,7 +176,8 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
     # shed via JumpFlag (src/ElevationMapping.cpp:630, 716, 766).
     suppress = use_jump | jump_fresh
     shed = dataclasses.replace(shed, valid=shed.valid & ~suppress)
-    submaps = sm.append_shed(state.submaps, shed)
+    submaps = (sm.append_shed(state.submaps, shed) if cfg.enable_submaps
+               else state.submaps)
 
     # --- raytrace visibility cleanup ---------------------------------------
     if cfg.enable_raytrace:
@@ -192,19 +194,46 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
     # reference blocks its callback on submap construction; we pay the grid
     # snapshot only on keyframe frames, on-device).
     dist = jnp.linalg.norm(track[:2] - state.last_keyframe_xy)
-    keyframe_due = dist >= cfg.submap.keyframe_distance
+    keyframe_due = (dist >= cfg.submap.keyframe_distance) \
+        if cfg.enable_submaps else jnp.zeros((), bool)
 
     def _finalize(args):
         submaps, _ = args
         grid_pts = sm.grid_to_points(map_state, cfg, feats.traver)
         pose = jnp.concatenate([track, frame.pose_quat]).astype(jnp.float32)
-        return sm.finalize_submap(submaps, grid_pts, pose), track[:2]
+        # SubMap payload (src/ElevationMapping.cpp:666-681): orthomosaic
+        # snapshot + subsampled raw keyframe scan, captured on-device at
+        # keyframe time (the reference attaches the latest rendered ortho
+        # image and the triggering raw cloud)
+        ortho = kf_pts = kf_count = None
+        if cfg.submap.store_ortho:
+            from gem_tpu.render.products import orthomosaic
+
+            ortho = orthomosaic(map_state, cfg.map, feats.traver)
+        M = cfg.submap.keyframe_scan_points
+        if M > 0:
+            P = frame.points.shape[0]
+            idx = jnp.linspace(0, P - 1, M).round().astype(jnp.int32) \
+                if M < P else jnp.arange(M) % P
+            sel_ok = frame.valid[idx] & (jnp.arange(M) < P)
+            # compact valid rows to the front so record export can slice [:n]
+            pos = jnp.cumsum(sel_ok.astype(jnp.int32)) - 1
+            tgt = jnp.where(sel_ok, pos, M + 1)
+            kf_pts = jnp.zeros((M, 3), jnp.float32).at[tgt].set(
+                frame.points[idx], mode="drop", unique_indices=True)
+            kf_count = jnp.sum(sel_ok)
+        return sm.finalize_submap(submaps, grid_pts, pose, ortho=ortho,
+                                  kf_points=kf_pts,
+                                  kf_count=kf_count), track[:2]
 
     def _keep(args):
         return args
 
-    submaps, last_keyframe_xy = jax.lax.cond(
-        keyframe_due, _finalize, _keep, (submaps, state.last_keyframe_xy))
+    if cfg.enable_submaps:
+        submaps, last_keyframe_xy = jax.lax.cond(
+            keyframe_due, _finalize, _keep, (submaps, state.last_keyframe_xy))
+    else:
+        last_keyframe_xy = state.last_keyframe_xy
 
     new_state = PipelineState(
         map=map_state, motion=motion, submaps=submaps,
@@ -255,6 +284,9 @@ class ElevationPipeline:
     """
 
     def __init__(self, cfg: PipelineConfig, fuse_backend: str = "auto"):
+        from gem_tpu.config import validate_config
+
+        validate_config(cfg)
         if fuse_backend == "auto":
             # the Pallas kernel needs a real TPU; XLA segment ops elsewhere
             fuse_backend = ("pallas" if jax.default_backend() == "tpu"

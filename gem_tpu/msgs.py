@@ -69,11 +69,21 @@ def submap_record_from_store(store, index: int, ortho=None,
                              keyframe_points=None, robot_id: int = 0,
                              stamp: float = 0.0) -> SubMapRecord:
     """Extract slot `index` of a SubmapStore as a compacted SubMapRecord
-    (the subMapPublisher_ payload, src/ElevationMapping.cpp:664-681)."""
+    (the subMapPublisher_ payload, src/ElevationMapping.cpp:664-681).
+
+    The orthoImage / keyframePC payload defaults to the store's per-keyframe
+    snapshot rings (captured at finalize time by the pipeline); explicit
+    `ortho` / `keyframe_points` arguments override."""
     valid = np.asarray(store.slots.valid[index])
     pick = lambda a: np.asarray(a[index])[valid]
     pts = np.stack([pick(store.slots.x), pick(store.slots.y),
                     pick(store.slots.z)], axis=-1)
+    if ortho is None and store.orthos.shape[1] > 0:
+        ortho = store.orthos[index]
+    if keyframe_points is None and store.kf_points.shape[1] > 0:
+        n = int(store.kf_counts[index])
+        keyframe_points = np.asarray(store.kf_points[index])[:n] \
+            if n > 0 else None
     return SubMapRecord(
         points=pts, colors=pick(store.slots.color),
         variance=pick(store.slots.variance),

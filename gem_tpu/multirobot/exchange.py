@@ -28,37 +28,31 @@ def merge_fleet_stores(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
     K = fleet_submaps.counts.shape[1]
     total = max_total or R * K
 
-    merged = sm.init_store(cfg.replace(
-        submap=cfg.submap.__class__(
-            max_submaps=total, capacity=cfg.submap.capacity,
-            keyframe_distance=cfg.submap.keyframe_distance,
-            overlap_radius=cfg.submap.overlap_radius,
-            dedup_cell_quantum=cfg.submap.dedup_cell_quantum)))
+    import dataclasses
 
-    out = 0
-    slots = merged.slots
-    counts = np.zeros(total, np.int32)
-    centers = np.zeros((total, 2), np.float32)
-    poses = np.zeros((total, 7), np.float32)
-    poses[:, 3] = 1.0
-    for r in range(R):
-        n_r = int(fleet_submaps.num_submaps[r])
-        for k in range(min(n_r, K)):
-            if out >= total:
-                break
-            take = lambda a: a[r, k]
-            slots = jax.tree.map(
-                lambda full, row: full.at[out].set(take(row)),
-                slots, fleet_submaps.slots)
-            counts[out] = int(fleet_submaps.counts[r, k])
-            centers[out] = np.asarray(fleet_submaps.centers[r, k])
-            poses[out] = np.asarray(fleet_submaps.poses[r, k])
-            out += 1
+    merged = sm.init_store(cfg.replace(
+        submap=dataclasses.replace(cfg.submap, max_submaps=total)))
+
+    # One batched gather instead of the round-1 per-slot host loop (which
+    # dispatched an .at[].set program per (robot, slot) — O(R*K) dispatches).
+    num = np.asarray(fleet_submaps.num_submaps)
+    sel = [(r, k) for r in range(R) for k in range(min(int(num[r]), K))]
+    sel = sel[:total]
+    out = len(sel)
+    if out == 0:
+        return merged
+    r_idx = jnp.asarray([s[0] for s in sel], jnp.int32)
+    k_idx = jnp.asarray([s[1] for s in sel], jnp.int32)
+    gathered = jax.tree.map(lambda a: a[r_idx, k_idx], fleet_submaps.slots)
+    slots = jax.tree.map(lambda full, g: full.at[:out].set(g),
+                         merged.slots, gathered)
     return merged.replace(
         slots=slots,
-        counts=jnp.asarray(counts),
-        centers=jnp.asarray(centers),
-        poses=jnp.asarray(poses),
+        counts=merged.counts.at[:out].set(
+            fleet_submaps.counts[r_idx, k_idx]),
+        centers=merged.centers.at[:out].set(
+            fleet_submaps.centers[r_idx, k_idx]),
+        poses=merged.poses.at[:out].set(fleet_submaps.poses[r_idx, k_idx]),
         num_submaps=jnp.int32(out),
     )
 
@@ -67,10 +61,9 @@ def joint_loop_closure(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
                        opt_poses) -> tuple[sm.SubmapStore, dict]:
     """Merge all robots' submaps and re-stitch with jointly-optimised poses
     (the MR_SLAM correction applied to the whole fleet's map)."""
+    import dataclasses
+
     merged = merge_fleet_stores(fleet_submaps, cfg)
-    joint_cfg = cfg.replace(submap=cfg.submap.__class__(
-        max_submaps=merged.counts.shape[0], capacity=cfg.submap.capacity,
-        keyframe_distance=cfg.submap.keyframe_distance,
-        overlap_radius=cfg.submap.overlap_radius,
-        dedup_cell_quantum=cfg.submap.dedup_cell_quantum))
+    joint_cfg = cfg.replace(submap=dataclasses.replace(
+        cfg.submap, max_submaps=merged.counts.shape[0]))
     return apply_loop_closure(merged, joint_cfg, opt_poses)

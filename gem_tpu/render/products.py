@@ -20,6 +20,8 @@ No subscribers, no cv_bridge: arrays in, arrays out, all jittable.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -68,27 +70,83 @@ def costmap_from_points(xs, ys, travers, valid, threshold: float,
     return grid[:-1].reshape(size, size).astype(jnp.uint8)
 
 
-def inflate_costmap(costmap, radius_cells: int):
-    """Inflate lethal cells by a square radius (max-pool stencil).
+INSCRIBED_INFLATED = 253
 
-    Shifts are zero-filled, NOT circular: a storage-indexed plane's wrap
-    seam and a geographic plane's window edges must not leak lethal cells to
-    the opposite side.  Pass a geographic-aligned costmap (e.g. rotate with
-    render.products._geographic_view or costmap_from_traversability(...,
+
+def distance_to_lethal(costmap, max_radius_cells: int):
+    """Euclidean distance (in cells) from each cell to the nearest LETHAL
+    cell, clamped at max_radius_cells + 1.
+
+    Separable bounded squared distance transform: 1D min-plus sweeps along
+    columns then rows (2*(2r+1) shifted minima instead of a (2r+1)^2
+    stencil).  Shifts are edge-filled, NOT circular: a geographic plane's
+    window edges must not leak obstacles to the opposite side.
+    """
+    lethal = costmap == LETHAL_OBSTACLE
+    r = int(max_radius_cells)
+    L0, L1 = lethal.shape
+    inf = jnp.float32((r + 1) ** 2)
+
+    # pass 1 (columns): d1[x, y] = min_j lethal[x, y+j] ? j^2 : inf
+    src = jnp.where(lethal, 0.0, inf)
+    padded = jnp.pad(src, ((0, 0), (r, r)), constant_values=inf)
+    d1 = src
+    for j in range(-r, r + 1):
+        if j == 0:
+            continue
+        d1 = jnp.minimum(d1, jax.lax.dynamic_slice(padded, (0, r + j),
+                                                   (L0, L1)) + j * j)
+    # pass 2 (rows): d2[x, y] = min_i d1[x+i, y] + i^2
+    padded = jnp.pad(d1, ((r, r), (0, 0)), constant_values=inf)
+    d2 = d1
+    for i in range(-r, r + 1):
+        if i == 0:
+            continue
+        d2 = jnp.minimum(d2, jax.lax.dynamic_slice(padded, (r + i, 0),
+                                                   (L0, L1)) + i * i)
+    return jnp.sqrt(jnp.minimum(d2, inf))
+
+
+def inflate_costmap(costmap, radius_cells, cost_scaling_factor: float = 0.0,
+                    resolution: float = 1.0, inscribed_radius: float = 0.0):
+    """move_base InflationLayer semantics (costmap_2d::InflationLayer, the
+    plugin the reference stacks above its layers —
+    layers/params/costmap_common_params_global.yaml:13,20-23):
+
+        d <= inscribed_radius                -> INSCRIBED_INFLATED (253)
+        inscribed < d <= inflation_radius    -> 252 * exp(-k (d - inscribed))
+        beyond                               -> untouched
+
+    with d the *circular* Euclidean distance to the nearest lethal cell.
+    `radius_cells` is the inflation radius in cells; `cost_scaling_factor`
+    (k, 1/m) and `inscribed_radius` (m) use `resolution` (m/cell) to convert
+    distances.  k == 0 reproduces the binary inflate-to-lethal-radius
+    behavior (the reference ships inflation_radius 0 / k 0, i.e. disabled).
+    Pass a geographic-aligned costmap (costmap_from_traversability(...,
     start=...)) so the stencil acts in contiguous world space.
     """
-    lethal = (costmap == LETHAL_OBSTACLE)
-    r = radius_cells
-    padded = jnp.pad(lethal, r)
-    out = lethal
-    L0, L1 = lethal.shape
-    for i in range(-r, r + 1):
-        for j in range(-r, r + 1):
-            if i == 0 and j == 0:
-                continue
-            out = out | jax.lax.dynamic_slice(padded, (r + i, r + j),
-                                              (L0, L1))
-    return jnp.where(out, LETHAL_OBSTACLE, costmap).astype(jnp.uint8)
+    r = int(math.ceil(radius_cells))
+    if r <= 0:
+        return jnp.asarray(costmap, jnp.uint8)
+    dist_m = distance_to_lethal(costmap, r) * resolution
+    radius_m = radius_cells * resolution
+
+    in_inscribed = dist_m <= inscribed_radius
+    in_radius = dist_m <= radius_m
+    if cost_scaling_factor > 0.0:
+        ramp = (INSCRIBED_INFLATED - 1) * jnp.exp(
+            -cost_scaling_factor
+            * jnp.maximum(dist_m - inscribed_radius, 0.0))
+        ramp = ramp.astype(jnp.int32)
+    else:
+        ramp = jnp.full(dist_m.shape, INSCRIBED_INFLATED, jnp.int32)
+    inflated = jnp.where(in_inscribed, INSCRIBED_INFLATED,
+                         jnp.where(in_radius, ramp, 0))
+
+    base = jnp.asarray(costmap, jnp.int32)
+    known = base != NO_INFORMATION
+    out = jnp.where(known, jnp.maximum(base, inflated), base)
+    return out.astype(jnp.uint8)
 
 
 def _geographic_view(plane, start):

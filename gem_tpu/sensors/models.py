@@ -50,8 +50,11 @@ def _stereo(cfg: SensorConfig, points, distance, pixel_uv=None):
     """Disparity model (StereoSensorProcessor.cpp:85-92).
 
     The reference's image-plane term sqrt((p3*disp + p4 - j)^2 + (240 - i)^2)
-    needs per-point pixel coords; when `pixel_uv` is None the principal point
-    is assumed (the term reduces to its minimum).
+    needs per-point pixel coords; the pipeline supplies them from the camera
+    projection (kernels/pointproc.process_points).  When `pixel_uv` is None
+    the principal point is assumed (the term reduces to its minimum) — a
+    stereo config without a camera is rejected up front by
+    ElevationPipeline/validate_config rather than silently degenerating.
     """
     z = jnp.maximum(points[:, 2], 1e-6)
     f = cfg.depth_to_disparity_factor
@@ -82,14 +85,20 @@ SENSOR_MODELS = {
 }
 
 
-def sensor_variances(cfg: SensorConfig, points):
-    """(var_lateral, var_normal) per point; points are (N, 3) sensor-frame."""
+def sensor_variances(cfg: SensorConfig, points, pixel_uv=None):
+    """(var_lateral, var_normal) per point; points are (N, 3) sensor-frame.
+
+    `pixel_uv` (N, 2) image coordinates feed the stereo image-plane term and
+    are ignored by the other models."""
     distance = jnp.linalg.norm(points, axis=-1)
+    if cfg.model == "stereo":
+        return _stereo(cfg, points, distance, pixel_uv=pixel_uv)
     return SENSOR_MODELS[cfg.model](cfg, points, distance)
 
 
 def height_variance(cfg: SensorConfig, points, sensor_jacobian,
-                    rotation_variance, c_sb_t, p_mul_c_bm_t, b_r_bs_skew):
+                    rotation_variance, c_sb_t, p_mul_c_bm_t, b_r_bs_skew,
+                    pixel_uv=None):
     """Propagated per-point height variance sigma_p^2 for a (N, 3) batch.
 
     Vectorised form of the per-point loop: the rotation-jacobian quadratic
@@ -98,7 +107,7 @@ def height_variance(cfg: SensorConfig, points, sensor_jacobian,
     js_l = jsx^2 + jsy^2, js_n = jsz^2.
     """
     points = jnp.asarray(points, jnp.float32)
-    var_lat, var_norm = sensor_variances(cfg, points)
+    var_lat, var_norm = sensor_variances(cfg, points, pixel_uv=pixel_uv)
 
     js = jnp.asarray(sensor_jacobian, jnp.float32).reshape(3)
     sensor_term = (js[0] ** 2 + js[1] ** 2) * var_lat + js[2] ** 2 * var_norm

@@ -160,3 +160,105 @@ def test_densify_fills_holes():
     x = np.asarray(out["x"])[valid]
     # interpolated surface tracks the plane
     assert np.median(np.abs(z - 0.2 * x)) < 0.15
+
+
+def test_refuse_pairs_scan_matches_sequential_loop():
+    """The one-program lax.scan pair sweep must equal the per-pair host loop
+    (round-1 verdict item 8), including pairs that share a submap."""
+    from gem_tpu.global_map.loop_closure import refuse_pairs
+
+    C = 32
+    rng = np.random.default_rng(4)
+    K = 4
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        n = 20
+        return sm.PointBuffer(
+            x=jnp.asarray(np.resize(
+                np.round(r.uniform(0, 8, n) * 2) / 2, C).astype(np.float32)),
+            y=jnp.zeros(C),
+            z=jnp.asarray(np.resize(r.normal(0, 1, n), C).astype(np.float32)),
+            variance=jnp.asarray(np.resize(r.uniform(0.05, 0.5, n),
+                                           C).astype(np.float32)),
+            intensity=jnp.zeros(C), traver=jnp.zeros(C),
+            color=jnp.zeros(C, jnp.int32),
+            valid=jnp.asarray(np.arange(C) < n))
+
+    slots = jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[mk(s) for s in range(K)])
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]   # chains share submaps
+
+    # sequential oracle
+    seq = slots
+    total = 0
+    for i, j in pairs:
+        a = jax.tree.map(lambda arr: arr[i], seq)
+        b = jax.tree.map(lambda arr: arr[j], seq)
+        a2, b2, nf = refuse_pair(a, b, 0.5)
+        seq = jax.tree.map(lambda arr, v: arr.at[i].set(v), seq, a2)
+        seq = jax.tree.map(lambda arr, v: arr.at[j].set(v), seq, b2)
+        total += int(nf)
+
+    padded = np.zeros((8, 2), np.int32)
+    padded[:len(pairs)] = pairs
+    got, nf = refuse_pairs(slots, jnp.asarray(padded),
+                           jnp.asarray(np.arange(8) < len(pairs)), 0.5)
+    assert int(nf) == total and total > 0
+    for name in ("x", "z", "variance"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(seq, name)), atol=1e-6)
+
+
+def test_densify_polynomial_beats_mean_splat_on_slope():
+    """MLS-style quadratic fit (round-1 verdict item 5): on sloped terrain
+    with one-sided sampling the weighted-MEAN splat biases toward the
+    neighborhood centroid; the polynomial fit recovers the surface."""
+    C = 1024
+    # steep plane z = 1.5 x, sampled only on a half-grid (x in [0, 4]) so
+    # cells near the sampled edge see asymmetric neighborhoods
+    g = np.linspace(0.05, 3.95, 24).astype(np.float32)
+    xs, ys = np.meshgrid(g, g, indexing="ij")
+    xs, ys = xs.reshape(-1), ys.reshape(-1)
+    keep = (xs + ys) % 0.7 > 0.25          # punch irregular holes
+    xs, ys = xs[keep], ys[keep]
+    zs = (1.5 * xs).astype(np.float32)
+    n = len(xs)
+    buf = sm.PointBuffer(
+        x=jnp.asarray(np.resize(xs, C)), y=jnp.asarray(np.resize(ys, C)),
+        z=jnp.asarray(np.resize(zs, C)),
+        variance=jnp.full((C,), 0.01), intensity=jnp.zeros(C),
+        traver=jnp.full((C,), 0.9), color=jnp.zeros(C, jnp.int32),
+        valid=jnp.asarray(np.arange(C) < n))
+    out = densify_submap(buf, base_resolution=0.5, upsample=2,
+                         grid_size=24, origin=(0.0, 0.0))
+    valid = np.asarray(out["valid"])
+    z = np.asarray(out["z"])[valid]
+    x = np.asarray(out["x"])[valid]
+    err_fit = np.abs(z - 1.5 * x)
+    # the quadratic fit stays within the in-cell quantisation bound
+    assert np.median(err_fit) < 0.05, np.median(err_fit)
+    assert np.quantile(err_fit, 0.9) < 0.16
+
+    # reference point: a pure weighted-mean splat on the same data (computed
+    # here as the oracle of the OLD behavior) is several times worse
+    res = 0.25
+    G = 24
+    ixs = np.floor(xs / res).astype(int)
+    iys = np.floor(ys / res).astype(int)
+    n0 = np.zeros((G, G)); z0 = np.zeros((G, G))
+    for a, b, zz in zip(ixs, iys, zs):
+        if 0 <= a < G and 0 <= b < G:
+            n0[a, b] += 1; z0[a, b] += zz
+    import math as _m
+    num = np.zeros((G, G)); den = np.zeros((G, G))
+    for i in range(-3, 4):
+        for j in range(-3, 4):
+            wgt = _m.exp(-(i * i + j * j) / (2 * 1.5 ** 2))
+            num += wgt * np.roll(np.roll(z0, i, 0), j, 1)
+            den += wgt * np.roll(np.roll(n0, i, 0), j, 1)
+    zm = num / np.maximum(den, 1e-6)
+    xs_c = (np.arange(G) + 0.5) * res
+    err_mean = np.abs(zm - 1.5 * xs_c[:, None]).reshape(-1)[valid]
+    assert np.median(err_fit) < 0.75 * np.median(err_mean), \
+        (np.median(err_fit), np.median(err_mean))

@@ -1,0 +1,94 @@
+"""End-to-end KITTI-raw drive: convert, replay, accuracy, colorization.
+
+Round-1 verdict item 7: the converter (io/kitti.convert_drive) had never
+been exercised on scan-structured geometry.  The fixture drive
+(tests/kitti_fixture.py) is a physically-simulated spinning LiDAR in the
+exact raw-KITTI layout; replaying it must reproduce the analytic ground
+surface within the BASELINE <5 cm RMSE target and colorize cells from the
+camera image.
+"""
+
+import glob
+import os
+
+import numpy as np
+import jax
+
+from gem_tpu.config import (CameraConfig, MapConfig, PipelineConfig,
+                            SensorConfig)
+from gem_tpu.io.kitti import convert_drive
+from gem_tpu.io.replay import load_npz_frame
+from gem_tpu.mapping.pipeline import ElevationPipeline
+from kitti_fixture import ground_height, in_box_footprint, write_fixture_drive
+
+
+def _convert(tmp_path, n_frames=6):
+    drive = os.path.join(tmp_path, "drive")
+    out = os.path.join(tmp_path, "npz")
+    calib = write_fixture_drive(drive, n_frames=n_frames, seed=3)
+    n = convert_drive(drive, out, calib_path=calib)
+    assert n == n_frames
+    return out
+
+
+def test_convert_drive_layout_and_camera(tmp_path):
+    out = _convert(tmp_path)
+    frames = sorted(glob.glob(os.path.join(out, "0*.npz")))
+    assert len(frames) == 6
+    d0 = np.load(frames[0])
+    assert d0["points"].ndim == 2 and d0["points"].shape[1] == 3
+    assert d0["points"].shape[0] > 3000          # real scan density
+    assert "image" in d0.files
+    # frame 0 anchors the world origin; velodyne pose = oxts pose here
+    np.testing.assert_allclose(d0["track_position"][:2], 0.0, atol=1e-5)
+    cam = np.load(os.path.join(out, "camera.npz"))
+    assert int(cam["image_height"]) == 96
+    assert cam["projection"].shape == (12,)
+
+    # forward motion ~1.2 m/frame along +x
+    d1 = np.load(frames[1])
+    assert 1.0 < d1["track_position"][0] < 1.4
+
+
+def test_drive_replay_accuracy_and_color(tmp_path):
+    out = _convert(tmp_path)
+    cam = np.load(os.path.join(out, "camera.npz"))
+    cfg = PipelineConfig(
+        map=MapConfig(length=100, resolution=0.2),
+        sensor=SensorConfig(model="laser", ignore_points_above=3.0,
+                            ignore_points_below=-5.0),
+        camera=CameraConfig(image_height=int(cam["image_height"]),
+                            image_width=int(cam["image_width"]),
+                            projection=tuple(float(v)
+                                             for v in cam["projection"])),
+        max_points=16384)
+    pipe = ElevationPipeline(cfg, fuse_backend="segment")
+    for path in sorted(glob.glob(os.path.join(out, "0*.npz"))):
+        pipe.process(load_npz_frame(cfg, path))
+    state = pipe.state.map
+
+    from gem_tpu.render.products import grid_point_cloud
+
+    cloud = jax.tree.map(np.asarray,
+                         grid_point_cloud(state, cfg.map))
+    valid = cloud["valid"]
+    assert valid.sum() > 500                      # substantial coverage
+    x, y, z = cloud["x"][valid], cloud["y"][valid], cloud["z"][valid]
+    # the converter anchors the world at the first sensor pose (KITTI devkit
+    # convention: t - origin), so analytic ground truth shifts by -z0
+    z0 = ground_height(0.0, 0.0) + 1.73
+    # evaluate against the analytic ground away from box obstacles
+    on_ground = ~in_box_footprint(x, y, margin=1.0)
+    err = z[on_ground] - (ground_height(x[on_ground], y[on_ground]) - z0)
+    rmse = float(np.sqrt(np.mean(err ** 2)))
+    assert rmse < 0.05, rmse                      # BASELINE <5 cm target
+
+    # box obstacles leave above-ground cells
+    on_box = in_box_footprint(x, y, margin=-0.3)
+    if on_box.sum() > 3:
+        lift = z[on_box] - (ground_height(x[on_box], y[on_box]) - z0)
+        assert np.quantile(lift, 0.8) > 0.5
+
+    # colorization: fused cells carry image-sampled colors
+    colored = cloud["r"][valid] + cloud["g"][valid] + cloud["b"][valid]
+    assert (colored > 0).sum() > 50

@@ -59,3 +59,31 @@ def test_relative_yaw_recovered():
     est = float(relative_yaw(br, bi, ar, ai))
     err = abs((est - yaw + math.pi) % (2 * math.pi) - math.pi)
     assert err < 2 * math.pi / 64 * 1.5, (est, yaw)
+
+
+def _two_radii_scene(rng, n=128):
+    """Azimuthally self-similar: equal-mass blobs at theta=0 (r=5) and
+    theta=pi (r=10).  The ring-SUMMED azimuth profile of this scene is
+    (near-)symmetric under a pi rotation, so profile-only phase correlation
+    aliases between shift 0 and shift pi; per-ring spectra disambiguate."""
+    a = np.stack([rng.normal(5.0, 0.2, n), rng.normal(0.0, 0.2, n)], -1)
+    b = np.stack([rng.normal(-10.0, 0.2, n), rng.normal(0.0, 0.2, n)], -1)
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def test_relative_yaw_no_aliasing_on_self_similar_scene():
+    rng = np.random.default_rng(7)
+    scene = _two_radii_scene(rng)
+    yaw = math.pi  # swaps the two blobs azimuthally; rings differ
+    _, ar, ai = disco_signature(_buf(scene, C=512), (0.0, 0.0))
+    _, br, bi = disco_signature(_buf(_rotate(scene, yaw), C=512), (0.0, 0.0))
+    est = float(relative_yaw(br, bi, ar, ai))
+    err = abs((est - yaw + math.pi) % (2 * math.pi) - math.pi)
+    assert err < 2 * math.pi / 64 * 1.5, (est, yaw)
+
+    # a second self-similar pair at a non-degenerate angle
+    yaw2 = 2 * math.pi * 21 / 64
+    _, cr, ci = disco_signature(_buf(_rotate(scene, yaw2), C=512), (0.0, 0.0))
+    est2 = float(relative_yaw(cr, ci, ar, ai))
+    err2 = abs((est2 - yaw2 + math.pi) % (2 * math.pi) - math.pi)
+    assert err2 < 2 * math.pi / 64 * 1.5, (est2, yaw2)

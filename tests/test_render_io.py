@@ -25,10 +25,30 @@ def test_costmap_classification():
     assert cm[1, 1] == FREE_SPACE  # threshold is strict <
 
 
-def test_inflation_grows_lethal():
+def test_inflation_circular_binary():
+    """k=0: binary inflation to the circular radius (not a square OR)."""
+    from gem_tpu.render.products import INSCRIBED_INFLATED
+
     cm = jnp.full((9, 9), FREE_SPACE, jnp.uint8).at[4, 4].set(LETHAL_OBSTACLE)
     out = np.asarray(inflate_costmap(cm, 1))
-    assert (out == LETHAL_OBSTACLE).sum() == 9
+    assert out[4, 4] == LETHAL_OBSTACLE
+    # distance-1 neighbors inflate; sqrt(2) diagonals do NOT (circular)
+    assert out[3, 4] == out[5, 4] == out[4, 3] == out[4, 5] \
+        == INSCRIBED_INFLATED
+    assert out[3, 3] == FREE_SPACE
+
+
+def test_inflation_exponential_decay():
+    """move_base cost ramp: 252 * exp(-k (d - inscribed)), monotone in d."""
+    cm = jnp.full((17, 17), FREE_SPACE,
+                  jnp.uint8).at[8, 8].set(LETHAL_OBSTACLE)
+    out = np.asarray(inflate_costmap(cm, 6, cost_scaling_factor=1.0,
+                                     resolution=0.5)).astype(int)
+    assert out[8, 8] == LETHAL_OBSTACLE
+    d1, d2, d3 = out[8, 9], out[8, 10], out[8, 11]
+    assert d1 > d2 > d3 > 0           # decaying, non-binary gradient
+    assert d1 == int(252 * np.exp(-1.0 * 0.5))
+    assert out[8, 8 + 6] > 0 and out[8, 8 + 7] == 0  # cut at the radius
 
 
 def test_orthomosaic_geographic_alignment():

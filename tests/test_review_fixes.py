@@ -31,7 +31,8 @@ def test_inflation_does_not_wrap_across_edges():
     cm = jnp.full((16, 16), 0, jnp.uint8).at[0, 0].set(LETHAL_OBSTACLE)
     out = np.asarray(inflate_costmap(cm, 2))
     # inflation stays in the corner; nothing leaks to the opposite edges
-    assert out[0, 0] == LETHAL_OBSTACLE and out[2, 2] == LETHAL_OBSTACLE
+    assert out[0, 0] == LETHAL_OBSTACLE and out[0, 2] > 0 and out[2, 0] > 0
+    assert out[2, 2] == 0            # circular: sqrt(8) > 2
     assert (out[-3:, :] == 0).all()
     assert (out[:, -3:] == 0).all()
 

@@ -75,3 +75,93 @@ def test_laser_variance_grows_with_distance():
                                      np.zeros((3, 3), np.float32),
                                      c_sb_t, p_bm_t, skew))
     assert out[0] < out[1] < out[2]
+
+
+def test_stereo_oracle_with_nontrivial_pixels():
+    """Stereo model vs StereoSensorProcessor.cpp:85-92 with real pixel
+    coordinates (round-1 verdict item 6: the image-plane term must not
+    silently collapse to the principal point)."""
+    cfg = SensorConfig(model="stereo", p_1=0.03287, p_2=-0.0001276,
+                       p_3=0.4850, p_4=399.1046, p_5=0.000006735,
+                       lateral_factor=0.001376915,
+                       depth_to_disparity_factor=47.3,
+                       stereo_center_v=240.0)
+    rng = np.random.default_rng(3)
+    n = 32
+    z = rng.uniform(0.5, 5.0, n).astype(np.float32)
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), z],
+                   -1).astype(np.float32)
+    u = rng.uniform(0, 640, n).astype(np.float32)   # getJ
+    v = rng.uniform(0, 480, n).astype(np.float32)   # getI
+    uv = np.stack([u, v], -1)
+
+    var_l, var_n = sensor_variances(cfg, jnp.asarray(pts),
+                                    pixel_uv=jnp.asarray(uv))
+
+    # oracle: the reference's per-point loop, verbatim math
+    disparity = cfg.depth_to_disparity_factor / z
+    want_n = (cfg.depth_to_disparity_factor / disparity ** 2) ** 2 * (
+        (cfg.p_5 * disparity + cfg.p_2)
+        * np.sqrt((cfg.p_3 * disparity + cfg.p_4 - u) ** 2
+                  + (240.0 - v) ** 2) + cfg.p_1)
+    want_l = (cfg.lateral_factor * np.linalg.norm(pts, axis=-1)) ** 2
+    np.testing.assert_allclose(np.asarray(var_n), want_n, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_l), want_l, rtol=1e-5)
+    # the pixel term matters: principal-point fallback differs
+    var_n0 = sensor_variances(cfg, jnp.asarray(pts))[1]
+    assert not np.allclose(np.asarray(var_n0), want_n, rtol=1e-2)
+
+
+def test_stereo_without_camera_rejected():
+    import pytest
+
+    from gem_tpu.config import PipelineConfig, validate_config
+    from gem_tpu.sensors.catalog import sensor_preset
+
+    cfg = PipelineConfig(sensor=sensor_preset("aslam_stereo"))
+    with pytest.raises(ValueError, match="stereo"):
+        validate_config(cfg)
+
+
+def test_stereo_pipeline_uses_camera_pixels():
+    """End-to-end: a stereo pipeline with a camera propagates pixel-dependent
+    variances into process_points."""
+    import jax
+
+    from gem_tpu.config import CameraConfig, MapConfig, PipelineConfig
+    from gem_tpu.core.state import init_map_state
+    from gem_tpu.kernels.pointproc import process_points
+    from gem_tpu.sensors.catalog import sensor_preset
+    from gem_tpu.sensors.models import jacobian_ingredients
+
+    proj = (500.0, 0.0, 320.0, 0.0,
+            0.0, 500.0, 240.0, 0.0,
+            0.0, 0.0, 1.0, 0.0)
+    cfg = PipelineConfig(
+        map=MapConfig(length=32, resolution=0.5),
+        sensor=sensor_preset("aslam_stereo"),
+        camera=CameraConfig(image_height=480, image_width=640,
+                            projection=proj),
+        max_points=64)
+    state = init_map_state(cfg.map)
+    rng = np.random.default_rng(5)
+    pts = np.stack([rng.uniform(-2, 2, 64), rng.uniform(-2, 2, 64),
+                    rng.uniform(1.0, 4.0, 64)], -1).astype(np.float32)
+    eye = np.eye(3, dtype=np.float32)
+    js, c_sb_t, p_bm_t, skew = jacobian_ingredients(eye, eye, np.zeros(3))
+    T = np.eye(4, dtype=np.float32)
+    batch, _ = process_points(
+        state, cfg, jnp.asarray(pts), jnp.zeros(64), jnp.ones(64, bool),
+        jnp.asarray(T), jnp.float32(0.0), js,
+        np.zeros((3, 3), np.float32), c_sb_t, p_bm_t, skew)
+
+    u = 500.0 * pts[:, 0] / pts[:, 2] + 320.0
+    v = 500.0 * pts[:, 1] / pts[:, 2] + 240.0
+    scfg = cfg.sensor
+    disparity = scfg.depth_to_disparity_factor / pts[:, 2]
+    want = (scfg.depth_to_disparity_factor / disparity ** 2) ** 2 * (
+        (scfg.p_5 * disparity + scfg.p_2)
+        * np.sqrt((scfg.p_3 * disparity + scfg.p_4 - u) ** 2
+                  + (240.0 - v) ** 2) + scfg.p_1)
+    np.testing.assert_allclose(np.asarray(batch.variance), want, rtol=1e-3,
+                               atol=1e-7)
