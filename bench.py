@@ -1,128 +1,134 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: points fused per second per core at the north-star operating point
-(vs_baseline = value / 100e6, the BASELINE.json target).  Full details
-(map-update Hz at 1000x1000, per-phase timings, RMSE harness) go to
-BENCH_DETAIL.json and stderr.
+Timing method (artifact-proof, see bench/probe.py): through this image's
+tunneled axon relay, `block_until_ready` can return before the program has
+executed, which inflated round-1 numbers by 3-4 orders of magnitude.  The
+only trustworthy clock is K-chained-program SLOPE timing with a VALUE fetch:
 
-Run on the real TPU chip: `python bench.py` (the axon platform is the
-default in this image).  `--quick` shrinks shapes for smoke runs.
+    per-program time = (min t(K_hi) - min t(K_lo)) / (K_hi - K_lo)
+
+where t(K) dispatches K data-dependent programs and np.asarray's a scalar
+from the last one.  Every phase runs in its own subprocess (the relay
+degrades ~1000x once a second executable loads in a process), and a control
+matmul with known FLOPs must hit >100 TFLOP/s in the same harness or the
+run is flagged unhealthy.
+
+Two north-star rows (BASELINE.json):
+  * map update rate @ 1000x1000  — realistic LiDAR frame (131,072 points,
+    the benchmark preset's own budget)
+  * points fused per second      — throughput point (1M points/frame);
+    scan replay (lax.scan, T frames/program) amortises dispatch on top.
+
+Headline = points fused per second; vs_baseline = value / 100e6.
+Details (Hz row, control, per-phase) go to BENCH_DETAIL.json and stderr.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+PROBE = os.path.join(REPO, "bench", "probe.py")
 
 
-def _time_steps(pipe_step, state, frames, warmup=2, iters=10):
-    """Steady-state device time per step with pre-staged (device-resident)
-    frames.  Frames MUST be device_put beforehand: in this image the chip
-    sits behind a network relay, and re-uploading numpy frames every call
-    measures the tunnel, not the TPU (a real deployment feeds frames over
-    local PCIe and overlaps the copy)."""
-    import jax
-
-    for i in range(warmup):
-        state, out = pipe_step(state, frames[i % len(frames)])
-    jax.block_until_ready(state)
-    best = float("inf")
-    for _ in range(3):  # min-of-trials: robust to episodic relay contention
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, out = pipe_step(state, frames[i % len(frames)])
-        jax.block_until_ready(state)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best, state
+def run_worker(spec: dict, timeout: int = 2400) -> dict:
+    """One probe phase in its own subprocess (one jitted program each)."""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, PROBE, "worker", json.dumps(spec)],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO)
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("PROBE_RESULT ")]
+    if not lines:
+        return {"error": (proc.stderr or proc.stdout)[-2000:],
+                "wall_s": round(time.time() - t0, 1)}
+    out = json.loads(lines[-1][len("PROBE_RESULT "):])
+    out["wall_s"] = round(time.time() - t0, 1)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--length", type=int, default=0)
-    ap.add_argument("--points", type=int, default=0)
-    ap.add_argument("--fuse-backend", default="pallas",
-                    choices=["segment", "sort", "pallas"])
-    ap.add_argument("--no-scan", action="store_true",
-                    help="skip the scan-replay (multi-frame-per-program) "
-                         "measurement")
+    ap.add_argument("--fuse-backend", default="auto")
+    ap.add_argument("--no-scan", action="store_true")
+    ap.add_argument("--no-control", action="store_true",
+                    help="skip the control matmul (saves ~1 min)")
     args = ap.parse_args()
 
-    import functools
+    quick = args.quick
+    length = args.length or (256 if quick else 1000)
+    hz_points = 16384 if quick else 131072
+    tp_points = 65536 if quick else 1048576
+    backend = args.fuse_backend
+    if backend == "auto":
+        from gem_tpu.mapping.calibrate import resolve_backend
+        backend = resolve_backend()
+    detail = {"method": "K-program slope timing with value fetch "
+                        "(bench/probe.py), one program per process",
+              "fuse_backend": backend}
 
-    import jax
+    # --- control: chip + relay health --------------------------------------
+    if not args.no_control:
+        ctl = run_worker({"name": "matmul_ctl", "phase": "matmul",
+                          "dim": 4096 if quick else 8192})
+        detail["control_matmul_tflops"] = ctl.get("tflops")
+        detail["relay_healthy"] = bool(ctl.get("tflops", 0) > 100)
+        if not detail["relay_healthy"]:
+            print(f"WARNING: control matmul {ctl.get('tflops')} TFLOP/s "
+                  "(<100): relay/chip unhealthy, numbers suspect",
+                  file=sys.stderr)
 
-    from gem_tpu.config import benchmark_config
-    from gem_tpu.io.replay import synthetic_frames
-    from gem_tpu.mapping.pipeline import init_pipeline_state, step
+    # --- north-star row 1: Hz @ 1000x1000, realistic frame -----------------
+    hz_row = run_worker({"name": "step_hz", "phase": "step",
+                         "fuse": backend, "length": length,
+                         "points": hz_points,
+                         "k_lo": 4, "k_hi": 24, "trials": 3})
+    step_ms = hz_row.get("per_program_ms")
+    if step_ms:
+        detail["step_ms_at_%dk_pts" % (hz_points // 1024)] = step_ms
+        detail["map_update_hz_at_%dx%d" % (length, length)] = 1e3 / step_ms
+    else:
+        detail["hz_row_error"] = hz_row.get("error")
 
-    detail = {"device": str(jax.devices()[0])}
+    # --- north-star row 2: points/s, throughput frame ----------------------
+    tp_row = run_worker({"name": "step_tp", "phase": "step",
+                         "fuse": backend, "length": length,
+                         "points": tp_points,
+                         "k_lo": 2, "k_hi": 12, "trials": 3})
+    points_per_sec = 0.0
+    tp_ms = tp_row.get("per_program_ms")
+    if tp_ms:
+        points_per_sec = tp_points / (tp_ms * 1e-3)
+        detail["step_ms_at_%dM_pts" % max(tp_points // (1 << 20), 1)] = tp_ms
+        detail["points_per_sec_step"] = points_per_sec
+    else:
+        detail["tp_row_error"] = tp_row.get("error")
 
-    # --- headline: points/s at the 1000x1000 north-star point -------------
-    length = args.length or (256 if args.quick else 1000)
-    n_points = args.points or (16384 if args.quick else 1048576)
-    cfg = benchmark_config(length=length, max_points=n_points)
-    # NOTE: keyframe/submap bookkeeping stays ENABLED — it is part of the
-    # reference's per-frame work and the honest cost.
-
-    n_frames = 8 if args.quick else 32
-    frames = []
-    state = init_pipeline_state(cfg)
-    for frame, _, _ in synthetic_frames(cfg, n_frames, n_points=n_points,
-                                        speed=0.4, seed=0,
-                                        max_range=length * 0.05):
-        frames.append(jax.device_put(frame))
-    jax.block_until_ready(frames)
-
-    step_fn = jax.jit(functools.partial(step, cfg=cfg,
-                                        fuse_backend=args.fuse_backend))
-    detail["fuse_backend"] = args.fuse_backend
-    t_compile0 = time.perf_counter()
-    s2, _ = step_fn(state, frames[0])
-    jax.block_until_ready(s2)
-    detail["compile_s"] = time.perf_counter() - t_compile0
-
-    dt, _ = _time_steps(step_fn, state, frames,
-                        warmup=2, iters=20 if args.quick else 100)
-    points_per_sec = n_points / dt
-    hz = 1.0 / dt
-    detail["step_ms"] = dt * 1e3
-    detail["map_update_hz_at_%dx%d" % (length, length)] = hz
-    detail["points_per_sec"] = points_per_sec
-    detail["n_points_per_frame"] = n_points
-
-    # --- scan replay: T frames per device program (offline dataset mode;
-    # amortises dispatch, revealing pure device time per frame) ------------
+    # --- scan replay: T frames per device program (offline corpora) --------
     if not args.no_scan:
-        import jax.numpy as jnp
+        sc = run_worker({"name": "scan_tp", "phase": "scan",
+                         "fuse": backend, "length": length,
+                         "points": tp_points,
+                         "n_frames": 4 if quick else 8})
+        if sc.get("per_frame_ms"):
+            detail["scan_ms_per_frame"] = sc["per_frame_ms"]
+            detail["scan_points_per_sec"] = tp_points / (sc["per_frame_ms"]
+                                                         * 1e-3)
+            points_per_sec = max(points_per_sec,
+                                 detail["scan_points_per_sec"])
+        else:
+            detail["scan_row_error"] = sc.get("error")
 
-        from gem_tpu.mapping.pipeline import scan_steps
-
-        T = len(frames)    # divide by the REAL stacked frame count
-        stacked = jax.device_put(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *frames))
-        scan_fn = jax.jit(functools.partial(
-            scan_steps, cfg=cfg, fuse_backend=args.fuse_backend))
-        s2, _ = scan_fn(state, stacked)
-        jax.block_until_ready(s2)
-        # conservative: fully synced per-call timing (each call waits for
-        # the whole T-frame program before the next dispatch)
-        best = float("inf")
-        for _ in range(8 if args.quick else 12):
-            t0 = time.perf_counter()
-            s2, _ = scan_fn(s2, stacked)
-            jax.block_until_ready(s2)
-            best = min(best, time.perf_counter() - t0)
-        detail["scan_ms_per_frame"] = best / T * 1e3
-        detail["scan_hz"] = T / best
-        detail["scan_points_per_sec"] = n_points * T / best
-        points_per_sec = max(points_per_sec, n_points * T / best)
-
-    with open("BENCH_DETAIL.json", "w") as f:
+    detail["n_points_throughput_frame"] = tp_points
+    detail["n_points_hz_frame"] = hz_points
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
     print(json.dumps(detail, indent=2), file=sys.stderr)
 

