@@ -434,8 +434,9 @@ def phase_step(spec):
     from gem_tpu.mapping.pipeline import step
 
     cfg, state, frames = _make_step_inputs(spec)
-    f = jax.jit(functools.partial(step, cfg=cfg,
-                                  fuse_backend=spec.get("fuse", "segment")))
+    f = jax.jit(functools.partial(
+        step, cfg=cfg, fuse_backend=spec.get("fuse", "segment"),
+        feature_backend=spec.get("feature_backend", "xla")))
 
     def run(K):
         s = state
@@ -463,8 +464,9 @@ def phase_scan(spec):
     cfg, state, frames = _make_step_inputs(spec)
     T = len(frames)
     stacked = jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *frames))
-    f = jax.jit(functools.partial(scan_steps, cfg=cfg,
-                                  fuse_backend=spec.get("fuse", "segment")))
+    f = jax.jit(functools.partial(
+        scan_steps, cfg=cfg, fuse_backend=spec.get("fuse", "segment"),
+        feature_backend=spec.get("feature_backend", "xla")))
 
     def run(K):
         s = state

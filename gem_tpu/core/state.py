@@ -10,7 +10,7 @@ Planes (sentinels follow G_Init_map, gpu_process.cu:198-214):
   elevation  f32  fused surface height; -10 = empty
   variance   f32  height variance; -10 = empty (>=1e-4 once fused)
   intensity  f32  LiDAR intensity; 0 = none
-  lowest     f32  lowest scan bound min(h)+3*sigma^2; 100 init / 10 after clear
+  lowest     f32  lowest scan bound min(h+3*var); 100 init / 10 after clear
   traver     f32  traversability in ~[0,1]; -10 = unknown
   color      i32  packed 0xRRGGBB (reference keeps three int planes)
 

@@ -14,7 +14,7 @@ which is plain row-major flattening, gpu_process.cu:677-706), so our `lowest`
 plane is geographic-indexed — unlike every other plane — and is documented as
 such here and in core/state.py.  The reference's racy "min then +3*sigma^2 if
 I am the min" (gpu_process.cu:434-438) becomes the deterministic
-min_h + 3 * var(argmin).
+min(h + 3*var) — see the inline note at the reduction.
 """
 
 from __future__ import annotations
@@ -165,16 +165,19 @@ def process_points(
     cell = jnp.where(valid, sx * L + sy, L * L)
     geo_cell = jnp.where(valid, gx * L + gy, L * L)
 
-    # lowest-scan bound: min height per geographic cell + 3*var(argmin).
-    # ONE packed argmin reduction (scatter.segment_argminmax) instead of two
-    # chained segment-mins: the payload (var at the argmin point) rides along
-    # in the low bits and is recovered by a gather.
+    # lowest-scan bound: min over the cell's points of (height + 3*var) —
+    # ONE segment-min.  The reference's atomicMin races "min height, then
+    # +3*sigma if I won" (gpu_process.cu:434-438), whose winner is arbitrary
+    # under ties/races; round 1 used the deterministic min-height argmin's
+    # variance (argmin reduction + payload gathers, ~4 scatter/gather passes).
+    # min(h + 3v) is an equally valid deterministic resolution of the racy
+    # spec — it picks the point with the lowest *pessimistic* bound, which is
+    # exactly what the raytrace consumer wants — and costs a single
+    # reduction (PARITY.md "lowest bound").
     if cfg.enable_lowest:
-        arg = scatter.segment_argminmax(height, geo_cell, L * L, "min",
-                                        valid=valid)
-        min_h = jnp.where(arg >= 0, height[jnp.maximum(arg, 0)], jnp.inf)
-        var_arg = var[jnp.maximum(arg, 0)]
-        candidate = jnp.where(arg >= 0, min_h + 3.0 * var_arg, jnp.inf)
+        bound = jnp.where(valid, height + 3.0 * var, jnp.inf)
+        candidate = scatter.segment_reduce(bound, geo_cell, L * L, "min",
+                                           jnp.inf)
         lowest = jnp.minimum(state.lowest.reshape(-1),
                              candidate).reshape(L, L)
     else:

@@ -111,7 +111,8 @@ def _empty_shed(cfg: PipelineConfig) -> ShedCells:
 
 
 def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
-         fuse_backend: str = "segment") -> tuple[PipelineState, StepOutputs]:
+         fuse_backend: str = "segment",
+         feature_backend: str = "xla") -> tuple[PipelineState, StepOutputs]:
     track = frame.track_position
 
     # --- odometry-jump bookkeeping (src/ElevationMapping.cpp:987-993) ------
@@ -160,7 +161,15 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
 
     # --- features -----------------------------------------------------------
     if cfg.enable_features:
-        feats = compute_features(map_state, cfg.map)
+        if feature_backend.startswith("pallas"):
+            from gem_tpu.kernels.features_pallas import \
+                compute_features_pallas
+
+            feats = compute_features_pallas(
+                map_state, cfg.map,
+                interpret=feature_backend == "pallas_interpret")
+        else:
+            feats = compute_features(map_state, cfg.map)
         map_state = map_state.replace(traver=feats.traver)
     else:
         L = cfg.map.length
@@ -255,7 +264,7 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
 
 
 def scan_steps(state: PipelineState, frames: Frame, cfg: PipelineConfig,
-               fuse_backend: str = "segment"):
+               fuse_backend: str = "segment", feature_backend: str = "xla"):
     """Process a whole stacked frame sequence in ONE device program.
 
     `frames` carries a leading time axis on every leaf.  lax.scan amortises
@@ -264,7 +273,8 @@ def scan_steps(state: PipelineState, frames: Frame, cfg: PipelineConfig,
     keep memory flat.  Returns (final_state, metrics dict of (T,) arrays).
     """
     def body(s, frame):
-        s2, out = step(s, frame, cfg=cfg, fuse_backend=fuse_backend)
+        s2, out = step(s, frame, cfg=cfg, fuse_backend=fuse_backend,
+                       feature_backend=feature_backend)
         m = {"points_valid": out.metrics["points_valid"],
              "cells_fused": out.metrics["cells_fused"],
              "shed_count": out.metrics["shed_count"],
@@ -283,7 +293,8 @@ class ElevationPipeline:
     the device, so host frame prep overlaps device compute.
     """
 
-    def __init__(self, cfg: PipelineConfig, fuse_backend: str = "auto"):
+    def __init__(self, cfg: PipelineConfig, fuse_backend: str = "auto",
+                 feature_backend: str = "auto"):
         from gem_tpu.config import validate_config
 
         validate_config(cfg)
@@ -293,15 +304,22 @@ class ElevationPipeline:
             from gem_tpu.mapping.calibrate import resolve_backend
 
             fuse_backend = resolve_backend()
+        if feature_backend == "auto":
+            # same math either way (bit-exact, tests/test_features.py);
+            # the Pallas stencil needs a real TPU
+            feature_backend = ("pallas" if jax.default_backend() == "tpu"
+                               else "xla")
         self.cfg = cfg
         self.fuse_backend = fuse_backend
+        self.feature_backend = feature_backend
         # NOTE: no donate_argnums here.  Donating the state is the natural
         # move (it dies every frame), but this image's tunneled axon runtime
         # hangs forever when fetching scalars aliased into donated buffers;
         # XLA's allocator reuses the freed planes fine without donation
         # (verified: sustained 1000-step runs hold steady).
-        self._step = jax.jit(functools.partial(step, cfg=cfg,
-                                               fuse_backend=fuse_backend))
+        self._step = jax.jit(functools.partial(
+            step, cfg=cfg, fuse_backend=fuse_backend,
+            feature_backend=feature_backend))
         self.state = init_pipeline_state(cfg)
         self.last_outputs: Optional[StepOutputs] = None
 

@@ -75,3 +75,28 @@ def test_sparse_neighbors_invalid():
     f = compute_features(_state_with(cfg, elev), cfg)
     assert np.asarray(f.traver)[8, 8] == cfg.invalid_traversability
     assert np.asarray(f.slope)[8, 8] == 0.0
+
+
+def test_pallas_stencil_matches_xla():
+    """The Pallas feature kernel (fast path on TPU) is bit-exact against the
+    jitted XLA stencil, including wrap seams and geographic window masks."""
+    import jax
+
+    from gem_tpu.kernels.features_pallas import compute_features_pallas
+
+    rng = np.random.default_rng(7)
+    for L, start in [(40, (0, 0)), (75, (13, 61)), (129, (5, 100))]:
+        cfg = MapConfig(length=L, resolution=0.1)
+        elev = rng.normal(size=(L, L)).astype(np.float32)
+        elev[rng.random((L, L)) < 0.3] = cfg.invalid_elevation
+        st = _state_with(cfg, elev, start)
+        a = jax.jit(lambda s: compute_features(s, cfg))(st)
+        b = jax.jit(lambda s: compute_features_pallas(
+            s, cfg, interpret=True))(st)
+        for k in ("slope", "rough", "traver", "normal_z"):
+            x = np.asarray(getattr(a, k))
+            y = np.asarray(getattr(b, k))
+            assert np.array_equal(x, y), (L, start, k,
+                                          np.abs(x - y).max())
+        assert np.array_equal(np.asarray(a.neighbor_count),
+                              np.asarray(b.neighbor_count))
