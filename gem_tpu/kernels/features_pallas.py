@@ -105,7 +105,7 @@ def compute_features_pallas(state: MapState, cfg: MapConfig,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, 8, Wp), lambda t, *_: (0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((12, Wp + 128), jnp.float32),

@@ -257,7 +257,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # pts
+            pl.BlockSpec(memory_space=pl.ANY),          # pts
             pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),         # elev0
             pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),

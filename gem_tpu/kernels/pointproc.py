@@ -110,6 +110,9 @@ def process_points(
     sensor_jacobian, rotation_variance, c_sb_t, p_mul_c_bm_t, b_r_bs_skew,
     image=None,            # (H, W, 3) uint8 or None
     colors=None,           # (P,) packed rgb if pre-colorized
+    compute_lowest=True,   # False: the stream fuse kernel owns the lowest
+                           # reduction (kernels/fuse_stream.py rides it on
+                           # the shared sorted pass)
 ) -> tuple[PointBatch, jax.Array]:
     """Returns the processed PointBatch and the updated (geographic) lowest
     plane."""
@@ -174,7 +177,7 @@ def process_points(
     # spec — it picks the point with the lowest *pessimistic* bound, which is
     # exactly what the raytrace consumer wants — and costs a single
     # reduction (PARITY.md "lowest bound").
-    if cfg.enable_lowest:
+    if cfg.enable_lowest and compute_lowest:
         bound = jnp.where(valid, height + 3.0 * var, jnp.inf)
         candidate = scatter.segment_reduce(bound, geo_cell, L * L, "min",
                                            jnp.inf)

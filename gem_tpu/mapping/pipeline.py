@@ -140,14 +140,22 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
     sensor_jac, c_sb_t, p_bm_t, b_skew = jacobian_ingredients(
         frame.r_map_base, frame.r_base_sensor, frame.t_base_sensor)
     rotation_variance = frame.pose_cov[3:, 3:]
+    stream = fuse_backend.startswith("stream")
     batch, lowest = process_points(
         map_state, cfg, frame.points, frame.intensity, frame.valid,
         frame.transform, frame.t_map_base[2], sensor_jac, rotation_variance,
-        c_sb_t, p_bm_t, b_skew, image=frame.image, colors=frame.colors)
+        c_sb_t, p_bm_t, b_skew, image=frame.image, colors=frame.colors,
+        compute_lowest=not stream)
     map_state = map_state.replace(lowest=lowest)
 
     # --- fuse ---------------------------------------------------------------
-    if fuse_backend != "none":    # "none": probe-only ablation (bench/probe.py)
+    if stream:
+        from gem_tpu.kernels.fuse_stream import fuse_stream
+
+        map_state = fuse_stream(
+            map_state, cfg, batch, with_lowest=cfg.enable_lowest,
+            interpret=fuse_backend == "stream_interpret")
+    elif fuse_backend != "none":  # "none": probe-only ablation (bench/probe.py)
         map_state = fuse(map_state, cfg, batch, backend=fuse_backend)
 
     # --- motion process noise (processmapcells path) ------------------------

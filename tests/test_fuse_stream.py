@@ -1,0 +1,160 @@
+"""Parity of the streaming Pallas fuse (kernels/fuse_stream.py) against the
+XLA segment backend — same anchor-gated combine, overwrite-if-higher and
+min-variance color semantics, plus the ride-along lowest bound."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gem_tpu.config import benchmark_config
+from gem_tpu.core.state import init_map_state
+from gem_tpu.kernels.fuse import fuse
+from gem_tpu.kernels.fuse_stream import fuse_stream
+from gem_tpu.kernels.pointproc import PointBatch
+
+
+def _random_state(rng, mcfg, occupancy=0.5, start=(7, 29)):
+    L = mcfg.length
+    st = init_map_state(mcfg)
+    elev = np.full((L, L), mcfg.invalid_elevation, np.float32)
+    var = np.full((L, L), mcfg.invalid_variance, np.float32)
+    occ = rng.random((L, L)) < occupancy
+    elev[occ] = rng.normal(size=occ.sum()).astype(np.float32)
+    var[occ] = rng.uniform(1e-4, 0.2, occ.sum()).astype(np.float32)
+    return st.replace(elevation=jnp.asarray(elev), variance=jnp.asarray(var),
+                      start=jnp.asarray(start, jnp.int32))
+
+
+def _random_batch(rng, L, P, valid_frac=0.9, one_cell=None):
+    if one_cell is not None:
+        cell = np.full(P, one_cell, np.int32)
+    else:
+        cell = rng.integers(0, L * L, P).astype(np.int32)
+    valid = rng.random(P) < valid_frac
+    h = (rng.normal(size=P) * 2).astype(np.float32)
+    v = rng.uniform(1e-4, 0.3, P).astype(np.float32)
+    col = np.where(rng.random(P) < 0.6,
+                   rng.integers(1, 1 << 24, P), 0).astype(np.int32)
+    inten = np.where(col != 0, rng.uniform(0.1, 1.0, P),
+                     0.0).astype(np.float32)
+    return PointBatch(
+        xy=jnp.zeros((P, 2)), height=jnp.asarray(h), variance=jnp.asarray(v),
+        cell=jnp.where(jnp.asarray(valid), jnp.asarray(cell), L * L),
+        color=jnp.asarray(col), intensity=jnp.asarray(inten),
+        valid=jnp.asarray(valid))
+
+
+def _compare(a, b, atol=5e-6):
+    for k in ("elevation", "variance", "intensity"):
+        x = np.asarray(getattr(a, k))
+        y = np.asarray(getattr(b, k))
+        assert np.abs(x - y).max() <= atol, (k, np.abs(x - y).max())
+    assert np.array_equal(np.asarray(a.color), np.asarray(b.color))
+
+
+@pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
+                                                 (1, 0.0, 1.0),
+                                                 (2, 1.0, 0.5)])
+def test_stream_matches_segment(seed, occ, valid_frac):
+    rng = np.random.default_rng(seed)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, occ)
+    batch = _random_batch(rng, L, 2048, valid_frac)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=False,
+                                         interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_all_points_one_cell():
+    """Worst-case skew: the whole batch lands in a single cell (the kernel's
+    inner chunk loop runs many chunks for one tile)."""
+    rng = np.random.default_rng(3)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.95, one_cell=L * L // 2)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=False,
+                                         interpret=True))(st, batch)
+    _compare(a, b, atol=5e-5)   # 4k-term f32 sums reassociate
+
+
+def test_stream_empty_batch_floors_variance():
+    """No valid points: elevations unchanged, variance floored everywhere
+    (gpu_process.cu:533-534 replication, same as the segment backend)."""
+    rng = np.random.default_rng(4)
+    L = 24
+    cfg = benchmark_config(length=L, max_points=256)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 256, valid_frac=0.0)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=False,
+                                         interpret=True))(st, batch)
+    _compare(a, b)
+    assert np.asarray(b.variance).min() >= cfg.map.min_variance
+
+
+def test_stream_lowest_matches_pointproc_reduction():
+    """The ride-along lowest (storage-space min + geographic roll) equals
+    pointproc's direct geographic segment-min of h + 3*var."""
+    from gem_tpu.kernels import scatter
+
+    rng = np.random.default_rng(5)
+    L = 40
+    start = (13, 6)
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, 0.3, start=start)
+    batch = _random_batch(rng, L, 2048)
+
+    out = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                           interpret=True))(st, batch)
+
+    # oracle: geographic-keyed segment-min (what pointproc computes)
+    cell = np.asarray(batch.cell)
+    valid = np.asarray(batch.valid) & (cell < L * L)
+    sx, sy = cell // L, cell % L
+    gx = (sx - start[0]) % L
+    gy = (sy - start[1]) % L
+    geo = np.where(valid, gx * L + gy, L * L)
+    bound = np.where(valid,
+                     np.asarray(batch.height) + 3.0 *
+                     np.asarray(batch.variance), np.inf)
+    want = scatter.segment_reduce(jnp.asarray(bound), jnp.asarray(geo),
+                                  L * L, "min", jnp.inf)
+    want = jnp.minimum(st.lowest.reshape(-1), want).reshape(L, L)
+    np.testing.assert_allclose(np.asarray(out.lowest), np.asarray(want),
+                               atol=1e-6)
+
+
+def test_step_stream_matches_segment_end_to_end():
+    """Whole pipeline steps with fuse_backend=stream_interpret track the
+    segment backend across several frames (move, shed, features, raytrace
+    identical; only the fuse/lowest path differs)."""
+    import functools
+
+    from gem_tpu.io.replay import synthetic_frames
+    from gem_tpu.mapping.pipeline import init_pipeline_state, step
+
+    cfg = benchmark_config(length=48, max_points=4096)
+    fa = jax.jit(functools.partial(step, cfg=cfg, fuse_backend="segment"))
+    fb = jax.jit(functools.partial(step, cfg=cfg,
+                                   fuse_backend="stream_interpret"))
+    sa = sb = init_pipeline_state(cfg)
+    for frame, _, _ in synthetic_frames(cfg, 4, n_points=4096, speed=0.3,
+                                        seed=0, max_range=2.4):
+        sa, _ = fa(sa, frame)
+        sb, _ = fb(sb, frame)
+    ea, eb = np.asarray(sa.map.elevation), np.asarray(sb.map.elevation)
+    occ_a, occ_b = ea != -10.0, eb != -10.0
+    # fuse-order f32 noise can flip borderline gates on later frames; demand
+    # near-total agreement, exact where both occupied
+    assert (occ_a == occ_b).mean() > 0.999
+    both = occ_a & occ_b
+    assert np.abs(ea[both] - eb[both]).max() < 1e-3
+    np.testing.assert_allclose(np.asarray(sa.map.lowest),
+                               np.asarray(sb.map.lowest), atol=1e-5)
