@@ -530,11 +530,15 @@ def suite(args):
         {"name": "scatter_sorted_1m", "phase": "scatter_sorted"},
         {"name": "scan_seg_1m", "phase": "scan_seg"},
         {"name": "cumsum_1m", "phase": "cumsum"},
+        {"name": "step_stream", "phase": "step", "fuse": "stream",
+         "feature_backend": "pallas"},
         {"name": "step_segment", "phase": "step", "fuse": "segment"},
-        {"name": "scan_segment", "phase": "scan", "fuse": "segment"},
+        {"name": "scan_stream", "phase": "scan", "fuse": "stream",
+         "feature_backend": "pallas"},
     ]
     if args.ablate:
         specs += [
+            {"name": "scan_segment", "phase": "scan", "fuse": "segment"},
             {"name": "step_pallas", "phase": "step", "fuse": "pallas"},
             {"name": "step_sort", "phase": "step", "fuse": "sort"},
             {"name": "step_nofuse", "phase": "step", "fuse": "none"},

@@ -116,10 +116,14 @@ class MapConfig:
     slope_critical: float = 0.6
     rough_critical: float = 0.2
 
-    # raytrace discretisation (kernels/raytrace.py); rays/steps default to
-    # ~2 rays per boundary cell when <= 0.
+    # raytrace discretisation (kernels/raytrace.py); rays default to ~4 per
+    # boundary cell when <= 0.  raytrace_group = radial cells per
+    # "strictly farther" granule along a ray (the nearest group-1 ray-mates
+    # never delete an obstacle — conservative).  num_steps is kept for the
+    # radial-step-table formulation used by sharded variants.
     raytrace_num_rays: int = 0
     raytrace_num_steps: int = 0
+    raytrace_group: int = 0     # 0 => max(2, length // 250)
 
     # rolling-buffer shift cap per frame (cells).  Shifts beyond this fall back
     # to a full-map clear, like indexShift >= length in Move (gpu_process.cu:1033).

@@ -39,7 +39,7 @@ class FeatureMaps:
     neighbor_count: jax.Array
 
 
-def _smallest_eig_normal(xx, xy, xz, yy, yz, zz):
+def _smallest_eig_normal(xx, xy, xz, yy, yz, zz, acos=jnp.arccos):
     """Unit eigenvector of the smallest eigenvalue of the symmetric matrix
     [[xx,xy,xz],[xy,yy,yz],[xz,yz,zz]], batched elementwise.
 
@@ -57,7 +57,7 @@ def _smallest_eig_normal(xx, xy, xz, yy, yz, zz):
             - bxy * (bxy * bzz - byz * bxz)
             + bxz * (bxy * byz - byy * bxz))
     r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    phi = acos(r) / 3.0
     eig_hi = q + 2.0 * p * jnp.cos(phi)
     eig_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)
 
@@ -88,7 +88,8 @@ def _smallest_eig_normal(xx, xy, xz, yy, yz, zz):
     return nz, eig_hi
 
 
-def features_from_moments(acc: dict, interior_elev, cfg: MapConfig):
+def features_from_moments(acc: dict, interior_elev, cfg: MapConfig,
+                          acos=jnp.arccos):
     """Moment sums -> (slope, rough, traver, nz, ok).
 
     `acc` holds the 5x5 masked moment accumulators (n, Sx, Sy, Sz, Sxx, Syy,
@@ -105,8 +106,8 @@ def features_from_moments(acc: dict, interior_elev, cfg: MapConfig):
     xz = acc["Sxz"] - acc["Sx"] * acc["Sz"] / n_safe
     yz = acc["Syz"] - acc["Sy"] * acc["Sz"] / n_safe
 
-    nz, _ = _smallest_eig_normal(xx, xy, xz, yy, yz, zz)
-    slope = jnp.arccos(jnp.clip(nz, 0.0, 1.0))
+    nz, _ = _smallest_eig_normal(xx, xy, xz, yy, yz, zz, acos=acos)
+    slope = acos(jnp.clip(nz, 0.0, 1.0))
     rough = jnp.abs(interior_elev - acc["Sz"] / n_safe)
     traver = (0.5 * (1.0 - slope / cfg.slope_critical)
               + 0.5 * (1.0 - rough / cfg.rough_critical))

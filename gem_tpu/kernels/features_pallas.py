@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gem_tpu.config import MapConfig
 from gem_tpu.core.state import MapState
+from gem_tpu.kernels import mathx
 from gem_tpu.kernels.features import FeatureMaps, features_from_moments
 
 
@@ -40,9 +41,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(start_ref, epad_ref, outs_ref, eblk, sem, *, L, Wp, res, cfg):
     t = pl.program_id(0)
-    # fetch the 12-row halo'd input window (rows t*8 .. t*8+11 of epad)
+    # fetch the halo'd input window (rows t*8 .. t*8+11 of epad; the DMA
+    # reads 16 rows — two full sublane tiles — to satisfy Mosaic's tiled
+    # slice alignment)
     dma = pltpu.make_async_copy(
-        epad_ref.at[pl.ds(t * 8, 12), :], eblk, sem)
+        epad_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 16), :], eblk, sem)
     dma.start()
 
     start_r = start_ref[0]
@@ -82,7 +85,10 @@ def _kernel(start_ref, epad_ref, outs_ref, eblk, sem, *, L, Wp, res, cfg):
             acc["Szz"] += mz * z
 
     center = e[2:10, 2:2 + Wp]
-    slope, rough, traver, nz, _ = features_from_moments(acc, center, cfg)
+    # mathx.acos: Mosaic has no acos lowering; the polynomial is ulp-level
+    # accurate so the parity test vs the XLA path holds at 1e-5
+    slope, rough, traver, nz, _ = features_from_moments(acc, center, cfg,
+                                                        acos=mathx.acos)
     outs_ref[0] = slope
     outs_ref[1] = rough
     outs_ref[2] = traver
@@ -100,7 +106,7 @@ def compute_features_pallas(state: MapState, cfg: MapConfig,
     # wrap-pad (circular storage buffer = exact neighbor semantics), then
     # pad rows to the tiled height + 2-halo and columns to lanes + 4-halo
     e = jnp.pad(state.elevation, 2, mode="wrap")           # (L+4, L+4)
-    e = jnp.pad(e, ((0, Rp + 4 - (L + 4)), (0, Wp + 128 - (L + 4))))
+    e = jnp.pad(e, ((0, Rp + 16 - (L + 4)), (0, Wp + 128 - (L + 4))))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -108,7 +114,7 @@ def compute_features_pallas(state: MapState, cfg: MapConfig,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, 8, Wp), lambda t, *_: (0, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((12, Wp + 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, Wp + 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )
     kern = functools.partial(_kernel, L=L, Wp=Wp, res=cfg.resolution,

@@ -49,8 +49,11 @@ _WEIGHT_EPS = 1e-9  # zero-variance (perfect-sensor) points dominate finitely
 def fuse(state: MapState, cfg: PipelineConfig, batch: PointBatch,
          backend: str = "segment") -> MapState:
     """backend: "segment" (XLA segment ops), "sort" (shared-sort scan
-    reductions), or "pallas" (fused MXU/VPU segment-stats kernel,
-    kernels/pallas_scatter.py)."""
+    reductions), or "pallas" (round-1 chunked segment-stats kernel,
+    kernels/pallas_scatter.py).  The production TPU path is
+    kernels/fuse_stream.fuse_stream ("stream" in the pipeline), which also
+    owns the lowest-bound reduction — the pipeline dispatches to it
+    directly (mapping/pipeline.py) because its signature differs."""
     if backend in ("pallas", "pallas_interpret"):
         return fuse_pallas(state, cfg, batch,
                            interpret=backend == "pallas_interpret")

@@ -68,27 +68,38 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
     base = (t * TILE).astype(jnp.float32)
     p_lo = starts_ref[t]
     p_hi = starts_ref[t + 1]
-    n_chunks = (p_hi - p_lo + CHUNK - 1) // CHUNK
+    # chunk starts must be tiling-aligned for the VMEM slice DMA; round down
+    # and let the c_local >= 0 mask drop the leading previous-tile points
+    aligned = (p_lo // CHUNK) * CHUNK
+    n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
 
     acc[...] = jnp.zeros_like(acc)
     accmin[...] = jnp.full_like(accmin, _INF)
 
-    e0 = elev0_ref[0, :]                       # (TILE,)
-    var0 = var0_ref[0, :]
+    e0 = elev0_ref[0, 0, :]                    # (TILE,)
+    var0 = var0_ref[0, 0, :]
     empty = e0 == mcfg.invalid_elevation
     var0c = jnp.maximum(var0, mcfg.min_variance)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, TILE), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
+
+    def get_dma(slot, j):
+        off = pl.multiple_of(aligned + j * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            pts_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
 
     def chunk_body(j, _):
-        off = p_lo + j * CHUNK
-        dma = pltpu.make_async_copy(
-            pts_ref.at[:, pl.ds(off, CHUNK)], buf, sem)
-        dma.start()
+        slot = jax.lax.rem(j, 2)
 
-        # anchor from the prior + start-row stats accumulated SO FAR (every
-        # point's segment start is at-or-before it in the sorted stream)
-        dma.wait()
-        p = buf[...].astype(jnp.float32)       # (8, CHUNK)
+        # double buffering: next chunk's DMA flies during this compute
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, j + 1).start()
+        get_dma(slot, j).wait()
+        p = buf[slot].astype(jnp.float32)      # (8, CHUNK)
         pT = jnp.transpose(p)                  # (CHUNK, 8)
         cl = pT[:, 0:1] - base                 # (CHUNK, 1) local cell
         h = pT[:, 1:2]
@@ -98,7 +109,8 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         hc = pT[:, 5:6]
         isst = pT[:, 6:7]
         valid = (cl >= 0.0) & (cl < float(TILE))
-        onehot = jnp.where((cl == lane) & valid, 1.0, 0.0)  # (CHUNK, TILE)
+        cl_i = cl.astype(jnp.int32)            # exact: cell ids < 2^24
+        onehot = jnp.where((cl_i == lane) & valid, 1.0, 0.0)  # (CHUNK, TILE)
 
         # --- pass A: start-row sums (h_max, v_argmax, has-any) -------------
         a1 = jnp.concatenate(
@@ -114,11 +126,12 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         anchor_v = jnp.where(empty, jnp.maximum(st_v, mcfg.min_variance),
                              var0c)
         band = mcfg.mahalanobis_threshold * jnp.sqrt(anchor_v)
-        anc = jnp.stack([anchor_e, band])                   # (2, TILE)
-        # per-point broadcast: (CHUNK, TILE) x (2, TILE) -> (CHUNK, 2)
-        ab = jax.lax.dot_general(onehot, anc, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        inl = valid & (jnp.abs(h - ab[:, 0:1]) <= ab[:, 1:2])
+        # per-point broadcast: masked lane-sums of the one-hot (each row has
+        # at most one live lane).  NOT a matmul: an MXU contraction to N=2
+        # pads to a full 128-lane tile and wastes ~64x the FLOPs.
+        ae_pt = jnp.sum(onehot * anchor_e[None, :], axis=1, keepdims=True)
+        b_pt = jnp.sum(onehot * band[None, :], axis=1, keepdims=True)
+        inl = valid & (jnp.abs(h - ae_pt) <= b_pt)
         outl = valid & ~inl
         w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
 
@@ -198,11 +211,13 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
     best_inten = jnp.where(overwrite, oc_i, accmin[2, :])
     color_update = jnp.isfinite(v_c) & (init_path | kalman_path | overwrite)
 
-    elev_ref[0, :] = new_elev
-    var_ref[0, :] = new_var
-    color_ref[0, :] = jnp.where(color_update, best_color, color0_ref[0, :])
-    inten_ref[0, :] = jnp.where(color_update, best_inten, inten0_ref[0, :])
-    low_ref[0, :] = accmin[3, :]
+    elev_ref[0, 0, :] = new_elev
+    var_ref[0, 0, :] = new_var
+    color_ref[0, 0, :] = jnp.where(color_update, best_color,
+                                   color0_ref[0, 0, :])
+    inten_ref[0, 0, :] = jnp.where(color_update, best_inten,
+                                   inten0_ref[0, 0, :])
+    low_ref[0, 0, :] = accmin[3, :]
 
 
 def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
@@ -246,7 +261,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     def tiles(plane, fill=0.0):
         flat = plane.reshape(-1).astype(jnp.float32)
         return jnp.pad(flat, (0, cpad - ncell),
-                       constant_values=fill).reshape(n_tiles, TILE)
+                       constant_values=fill).reshape(n_tiles, 1, TILE)
 
     elev0 = tiles(state.elevation, mcfg.invalid_elevation)
     var0 = tiles(state.variance, mcfg.invalid_variance)
@@ -258,26 +273,26 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # pts
-            pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),         # elev0
-            pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),         # var0
-            pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),         # color0
-            pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),         # inten0
         ],
-        out_specs=[pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
+        out_specs=[pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
                                 memory_space=pltpu.VMEM)] * 5,
         scratch_shapes=[
-            pltpu.VMEM((_ROWS, CHUNK), jnp.float32),       # chunk buffer
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),    # 2 chunk buffers
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((12, TILE), jnp.float32),           # sum accumulators
             pltpu.VMEM((4, TILE), jnp.float32),            # min accumulators
         ],
     )
     kern = functools.partial(_kernel, mcfg=mcfg, with_lowest=with_lowest)
-    out_shape = [jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32)] * 5
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.float32)] * 5
     new_elev, new_var, new_colf, new_inten, low_sto = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,

@@ -1,46 +1,62 @@
 """Visibility cleanup: delete obstacles the sensor has seen *through*.
 
 TPU-native rewrite of G_Raytracing (gpu_process.cu:708-891).  The reference
-DDA-walks, per obstacle cell, from the obstacle **away from the robot** to the
-map edge: if the lowest-scan surface at some farther cell implies a sight line
-from the sensor that passes *below* the obstacle top, the obstacle would have
-occluded that observation — so it is stale and gets deleted
-(gpu_process.cu:885-886: elev - 3*sqrt(var) > bound  =>  elevation := -10).
+DDA-walks, per obstacle cell, from the obstacle **away from the robot** to
+the map edge: if the lowest-scan surface at some farther cell implies a
+sight line from the sensor that passes *below* the obstacle top, the
+obstacle would have occluded that observation — so it is stale and gets
+deleted (gpu_process.cu:885-886).
 
 Geometry: for a farther cell c at radial distance d_c and the obstacle at
-d_o < d_c (distances from the window center, where the robot sits), the sight
-line sensor->(c, lowest(c)) evaluated at the obstacle is
+d_o < d_c, the sight line sensor->(c, lowest(c)) evaluated at the obstacle is
 
-    bound(o, c) = sensor_z + (lowest(c) - sensor_z) * d_o / d_c.
+    bound(o, c) = sensor_z + (lowest(c) - sensor_z) * d_o / d_c,
 
-The reference computes exactly this through its row-index ratio x1/x2
-(d_min_elevation, gpu_process.cu:692-706; the on-ray row ratio equals the
-radial ratio).  Minimising over c gives
+minimised over constraining cells c — i.e. a per-direction *suffix minimum*
+of g(c) = (lowest(c) - sensor_z) / d_c (the reference's x1/x2 row ratio
+equals the radial ratio, d_min_elevation, gpu_process.cu:692-706).
 
-    bound(o) = sensor_z + d_o * min_{c beyond o}[(lowest(c) - sensor_z)/d_c],
+TPU formulation (round 2 — the round-1 polar resample spent ~41 ms/frame in
+two 1-4M XLA gathers; gathers are the enemy, sorts are ~5x cheaper at 1M,
+PROBE_r2/prims.json):
 
-i.e. a per-direction *suffix minimum* of g(c) = (lowest(c)-sensor_z)/d_c.
-That turns the per-cell variable-length walk into:
+  1. every geographic cell is STATICALLY assigned to the ray through its own
+     azimuth (R rays) and ordered by its exact radial distance; this
+     (cell -> ray-major slot) permutation and its inverse are compile-time
+     int32 key tables, so both direction changes are `lax.sort` by a
+     constant key — the fastest data-movement primitive on this chip;
+  2. in slot space, consecutive runs of G cells along each ray form radial
+     groups: per-group min, then one reversed exclusive `lax.cummin` along
+     the ray axis = "min of g over all strictly-farther groups";
+  3. the per-cell bound uses the cell's EXACT distances (no radial-bin
+     rounding, unlike round 1's step table).
 
-    1. resample `lowest` into a polar (rays, steps) table   [gather]
-    2. one reversed cumulative-min along the step axis      [dense scan]
-    3. per-cell lookup of its (ray, step+1) suffix bin      [gather]
+Everything is dense VPU work + two 2-operand sorts; zero gathers/scatters.
 
-— three vectorised passes instead of L^2 serial walks.
+Deviations from the reference walk (PARITY.md):
+  * constraints come from cells on the obstacle's own ray (azimuth within
+    +-pi/R), every one of them — the reference's DDA samples ~one cell per
+    radial step with nearest rounding; coverage is comparable, ours never
+    misses a cell;
+  * "strictly farther" is granular at G cells along the ray (the nearest
+    G-1 ray-mates never delete an obstacle — conservative);
+  * unseen cells (10 reset / 100 init sentinels) do not constrain; the
+    reference's P_isVaild treats 100 as valid (gpu_process.cu:682-690) —
+    intended behavior implemented here excludes both.
 
-`lowest` is geographic-indexed (see kernels/pointproc.py), so the polar
-sampling needs no start offset.  Cells whose lowest is unseen (the 10 reset /
-100 init sentinels, gpu_process.cu:207,236) do not constrain; the reference's
-P_isVaild treats the 100 init value as *valid* (gpu_process.cu:682-690) —
-intended behavior implemented here excludes both.
+`lowest` is geographic-indexed (kernels/pointproc.py); elevation/variance/
+traver are storage-indexed and are rolled geo<->storage (a bijection) at
+the boundary of this function.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gem_tpu.config import MapConfig
 from gem_tpu.core.state import MapState
@@ -51,54 +67,146 @@ def _robot_geo(length: int) -> float:
     return length / 2 - 0.5 if length % 2 == 0 else float(length // 2)
 
 
+@functools.lru_cache(maxsize=8)
+def _tables(L: int, R: int, G: int):
+    """Static ray-major layout: distances, the slot permutation key (sort 1)
+    and its inverse (sort 2), group geometry."""
+    robot = _robot_geo(L)
+    gx, gy = np.meshgrid(np.arange(L), np.arange(L), indexing="ij")
+    dx = gx - robot
+    dy = gy - robot
+    d = np.hypot(dx, dy).astype(np.float32)                    # (L, L)
+    ray = np.round(np.arctan2(dy, dx) * (R / (2.0 * math.pi)))
+    ray = ray.astype(np.int64).reshape(-1) % R
+    flat_d = d.reshape(-1)
+
+    order = np.lexsort((flat_d, ray))           # by ray, then distance
+    counts = np.bincount(ray, minlength=R)
+    cap = int(np.ceil(max(counts.max(), 1) / G) * G)
+    nslots = R * cap
+    starts = np.cumsum(counts) - counts
+    pos_in_ray = np.arange(L * L) - np.repeat(starts, counts)
+    slot_sorted = ray[order] * cap + pos_in_ray
+    slot_of_cell = np.empty(L * L, np.int64)
+    slot_of_cell[order] = slot_sorted
+
+    used = np.zeros(nslots, bool)
+    used[slot_sorted] = True
+    pad_slots = np.nonzero(~used)[0]
+    key1 = np.concatenate([slot_of_cell, pad_slots]).astype(np.int32)
+
+    cell_of_slot = np.full(nslots, -1, np.int64)
+    cell_of_slot[slot_of_cell] = np.arange(L * L)
+    key2 = np.where(cell_of_slot >= 0, cell_of_slot,
+                    L * L + np.arange(nslots)).astype(np.int32)
+    return d, key1, key2, cap, nslots
+
+
+@functools.lru_cache(maxsize=8)
+def _near_tables(L: int, R: int):
+    """Near-field polar resample tables (see module docstring: for
+    constraint cells closer than D0 = R_far/(4*pi) the per-ray partition's
+    azimuth quantum exceeds the reference's +-0.5-cell line corridor, so
+    the near field keeps the dense-sampled resample formulation — it is
+    small, its gathers are static and cheap, and it reproduces the DDA's
+    short-range cone).  Returns (R_n, S0, sample_idx, sample_in, block,
+    cell_ray, cell_k, cell_d)."""
+    robot = _robot_geo(L)
+    max_d = (L - 1 - robot) * math.sqrt(2.0) + 1.0
+    # cover every distance whose ray-corridor halfwidth (pi*d/R cells) is
+    # narrower than the DDA's ~0.5-cell line corridor, capped at 192 cells
+    # so the static gathers stay small on big maps (PARITY.md: beyond the
+    # cap the partition's corridor is 0.3-0.5 cells, comparable to the
+    # reference DDA's own sampling skips)
+    D0 = min(0.175 * R, 192.0, max_d)
+    S0 = max(int(math.ceil(D0)), 2)
+    R_n = min(int(np.ceil(2 * math.pi * S0 / 128.0)) * 128, R)
+
+    theta = np.arange(R_n) * (2.0 * math.pi / R_n)
+    ks = np.arange(1, S0 + 1, dtype=np.float64)
+    gx = np.round(robot + np.cos(theta)[:, None] * ks[None, :]).astype(int)
+    gy = np.round(robot + np.sin(theta)[:, None] * ks[None, :]).astype(int)
+    inside = (gx >= 0) & (gx < L) & (gy >= 0) & (gy < L)
+    idx = (np.clip(gx, 0, L - 1) * L + np.clip(gy, 0, L - 1)).astype(np.int32)
+
+    # obstacle-side lookup: the geographic block of cells within D0
+    lo = max(int(math.floor(robot - D0)), 0)
+    hi = min(int(math.ceil(robot + D0)) + 1, L)
+    bx, by = np.meshgrid(np.arange(lo, hi), np.arange(lo, hi), indexing="ij")
+    bdx = bx - robot
+    bdy = by - robot
+    bd = np.hypot(bdx, bdy).astype(np.float32)
+    bray = np.round(np.arctan2(bdy, bdx) * (R_n / (2.0 * math.pi)))
+    bray = bray.astype(np.int64) % R_n
+    bk = np.clip(np.floor(bd).astype(np.int64), 0, S0 - 1)
+    return (R_n, S0, idx, inside, (lo, hi),
+            bray.astype(np.int32), bk.astype(np.int32), bd)
+
+
 def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
     """Returns state with occluding stale obstacles deleted and the lowest
     plane reset (Raytracing host wrapper, gpu_process.cu:1304-1318)."""
     L = cfg.length
-    robot = _robot_geo(L)
     R = cfg.num_rays()
-    S = cfg.num_steps()
-    max_dist = (robot + 0.5) * math.sqrt(2.0) + 1.0   # cells, corner-covering
-    step = max_dist / S
+    G = cfg.raytrace_group if cfg.raytrace_group > 0 else max(2, L // 250)
+    d_np, key1_np, key2_np, cap, nslots = _tables(L, R, G)
+    d = jnp.asarray(d_np)
+    key1 = jnp.asarray(key1_np)
+    key2 = jnp.asarray(key2_np)
+    inf = jnp.float32(jnp.inf)
 
-    # --- 1. polar resample of g = (lowest - sensor_z) / dist ---------------
-    theta = jnp.arange(R, dtype=jnp.float32) * (2.0 * math.pi / R)
-    dists = (jnp.arange(S, dtype=jnp.float32) + 1.0) * step      # (S,)
-    dirx = jnp.cos(theta)[:, None]                                # (R, 1)
-    diry = jnp.sin(theta)[:, None]
-    gx = robot + dirx * dists[None, :]                            # (R, S)
-    gy = robot + diry * dists[None, :]
-    ix = jnp.round(gx).astype(jnp.int32)
-    iy = jnp.round(gy).astype(jnp.int32)
-    inside = (ix >= 0) & (ix < L) & (iy >= 0) & (iy < L)
-    flat = jnp.clip(ix, 0, L - 1) * L + jnp.clip(iy, 0, L - 1)
-    low = state.lowest.reshape(-1)[flat]                          # (R, S)
-    seen = inside & (low != cfg.lowest_reset) & (low != cfg.lowest_init)
-    g = jnp.where(seen, (low - state.sensor_z) / dists[None, :], jnp.inf)
+    # --- constraint field g per geographic cell -----------------------------
+    low = state.lowest
+    seen = (low != cfg.lowest_reset) & (low != cfg.lowest_init) & (d > 0.0)
+    g = jnp.where(seen, (low - state.sensor_z) / jnp.maximum(d, 1e-6), inf)
 
-    # --- 2. suffix min along each ray --------------------------------------
-    suffix = jax.lax.cummin(g, axis=1, reverse=True)              # (R, S)
-    # shift left: bin k holds min over strictly-farther bins
-    beyond = jnp.concatenate(
-        [suffix[:, 1:], jnp.full((R, 1), jnp.inf, g.dtype)], axis=1)
+    # --- to ray-major slots (sort by static permutation key) ---------------
+    vals1 = jnp.concatenate([g.reshape(-1),
+                             jnp.full((nslots - L * L,), inf)])
+    _, g_slots = jax.lax.sort([key1, vals1], num_keys=1)
 
-    # --- 3. per-cell lookup ------------------------------------------------
-    grow = jnp.mod(jnp.arange(L) - state.start[0] + L, L).astype(jnp.float32)
-    gcol = jnp.mod(jnp.arange(L) - state.start[1] + L, L).astype(jnp.float32)
-    dx = grow[:, None] - robot                                    # (L, L)
-    dy = gcol[None, :] - robot
-    d = jnp.sqrt(dx * dx + dy * dy)
-    ang = jnp.arctan2(dy, dx)
-    rbin = jnp.mod(jnp.round(ang * (R / (2.0 * math.pi))).astype(jnp.int32), R)
-    kbin = jnp.clip(jnp.round(d / step).astype(jnp.int32) - 1, 0, S - 1)
-    min_g = beyond.reshape(-1)[rbin * S + kbin]                   # (L, L)
+    # --- per-group min, exclusive suffix over strictly-farther groups ------
+    nb = cap // G
+    bins = g_slots.reshape(R, nb, G).min(axis=2)               # (R, nb)
+    suffix = jax.lax.cummin(bins, axis=1, reverse=True)
+    beyond = jnp.concatenate([suffix[:, 1:],
+                              jnp.full((R, 1), inf)], axis=1)
+    slot_beyond = jnp.broadcast_to(beyond[:, :, None],
+                                   (R, nb, G)).reshape(-1)
+
+    # --- back to cell order (sort by the static inverse key) ---------------
+    _, bound_cells = jax.lax.sort([key2, slot_beyond], num_keys=1)
+    min_g = bound_cells[:L * L].reshape(L, L)                  # geographic
+
+    # --- near-field cone (resample formulation, static gathers) ------------
+    R_n, S0, n_idx, n_in, (blo, bhi), bray, bk, bd = _near_tables(L, R)
+    low_n = low.reshape(-1)[jnp.asarray(n_idx).reshape(-1)].reshape(R_n, S0)
+    seen_n = jnp.asarray(n_in) & (low_n != cfg.lowest_reset) \
+        & (low_n != cfg.lowest_init)
+    ks = jnp.arange(1, S0 + 1, dtype=jnp.float32)
+    g_n = jnp.where(seen_n, (low_n - state.sensor_z) / ks[None, :], inf)
+    suffix_n = jax.lax.cummin(g_n, axis=1, reverse=True)       # (R_n, S0)
+    beyond_n = jnp.concatenate([suffix_n[:, 1:],
+                                jnp.full((R_n, 1), inf)], axis=1)
+    near_vals = beyond_n.reshape(-1)[
+        (jnp.asarray(bray).astype(jnp.int32) * S0
+         + jnp.asarray(bk)).reshape(-1)].reshape(bray.shape)
+    block = jnp.minimum(min_g[blo:bhi, blo:bhi], near_vals)
+    min_g = min_g.at[blo:bhi, blo:bhi].set(block)
+
+    # --- deletion test in geographic space ----------------------------------
+    roll_geo = lambda p: jnp.roll(p, shift=(-state.start[0], -state.start[1]),
+                                  axis=(0, 1))
+    elev_g = roll_geo(state.elevation)
+    var_g = roll_geo(state.variance)
+    traver_g = roll_geo(traver)
     bound = state.sensor_z + d * min_g
-
-    obstacle = (traver < cfg.obstacle_threshold) \
-        & (state.elevation != cfg.invalid_elevation) & (d > 0.0)
-    delete = obstacle & jnp.isfinite(min_g) & (
-        state.elevation - 3.0 * jnp.sqrt(jnp.maximum(state.variance, 0.0))
-        > bound)
+    obstacle = (traver_g < cfg.obstacle_threshold) \
+        & (elev_g != cfg.invalid_elevation) & (d > 0.0)
+    delete_g = obstacle & jnp.isfinite(min_g) & (
+        elev_g - 3.0 * jnp.sqrt(jnp.maximum(var_g, 0.0)) > bound)
+    delete = jnp.roll(delete_g, shift=(state.start[0], state.start[1]),
+                      axis=(0, 1))
 
     return state.replace(
         elevation=jnp.where(delete, cfg.invalid_elevation, state.elevation),

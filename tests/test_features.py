@@ -78,8 +78,10 @@ def test_sparse_neighbors_invalid():
 
 
 def test_pallas_stencil_matches_xla():
-    """The Pallas feature kernel (fast path on TPU) is bit-exact against the
-    jitted XLA stencil, including wrap seams and geographic window masks."""
+    """The Pallas feature kernel (fast path on TPU) matches the jitted XLA
+    stencil, including wrap seams and geographic window masks.  Moments are
+    bit-identical; slope/traver go through mathx.acos (Mosaic has no acos
+    lowering) which is ulp-level vs jnp.arccos, hence the 1e-5 tolerance."""
     import jax
 
     from gem_tpu.kernels.features_pallas import compute_features_pallas
@@ -93,10 +95,20 @@ def test_pallas_stencil_matches_xla():
         a = jax.jit(lambda s: compute_features(s, cfg))(st)
         b = jax.jit(lambda s: compute_features_pallas(
             s, cfg, interpret=True))(st)
-        for k in ("slope", "rough", "traver", "normal_z"):
+        assert np.array_equal(np.asarray(a.rough), np.asarray(b.rough))
+        for k in ("slope", "traver", "normal_z"):
             x = np.asarray(getattr(a, k))
             y = np.asarray(getattr(b, k))
-            assert np.array_equal(x, y), (L, start, k,
-                                          np.abs(x - y).max())
+            assert np.abs(x - y).max() < 1e-5, (L, start, k,
+                                                np.abs(x - y).max())
         assert np.array_equal(np.asarray(a.neighbor_count),
                               np.asarray(b.neighbor_count))
+
+
+def test_mathx_acos_matches_numpy():
+    from gem_tpu.kernels import mathx
+
+    x = np.linspace(-1, 1, 20001).astype(np.float32)
+    got = np.asarray(mathx.acos(jnp.asarray(x)))
+    want = np.arccos(x.astype(np.float64))
+    assert np.abs(got - want).max() < 3e-7
