@@ -130,9 +130,14 @@ class MapConfig:
     max_shift_cells: int = 32
 
     def num_rays(self) -> int:
+        # 3 rays/boundary cell: with the square-angle partition the line
+        # corridor at the rim stays within ~0.5-0.9 cells of the reference
+        # DDA's; the padded slot count is capped by the exact-axis rays
+        # (~L/2 cells each), so fewer rays shrink the raytrace sorts
+        # linearly (kernels/raytrace.py)
         if self.raytrace_num_rays > 0:
             return self.raytrace_num_rays
-        return _round_up(4 * self.length, 128)
+        return _round_up(3 * self.length, 128)
 
     def num_steps(self) -> int:
         if self.raytrace_num_steps > 0:

@@ -51,10 +51,21 @@ from gem_tpu.core.state import MapState
 from gem_tpu.kernels.pointproc import PointBatch
 
 _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
-TILE = 1024          # cells per kernel tile
-CHUNK = 512          # points per inner-loop chunk
-_ROWS = 8            # packed point-matrix rows (see _pack)
+# Tile/chunk geometry.  MXU one-hot passes cost ~N_points * TILE / 128^2
+# tile-passes TOTAL (independent of CHUNK), so small tiles are cheap on the
+# MXU; the floor is per-grid-step + per-chunk overhead (~ncell/TILE +
+# N/CHUNK iterations).  256/256 measured fastest at the 1M-pt/1M-cell
+# flagship point (see BENCH_KERNELS.json); env overrides for tuning.
+import os as _os
+
+TILE = int(_os.environ.get("GEM_FUSE_TILE", 256))    # cells per kernel tile
+CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 256))  # points per inner chunk
+assert TILE % 128 == 0 and CHUNK % 128 == 0
+_ROWS = 8            # packed point-matrix rows
 _INF = float("inf")
+# timing-ablation knob (results become WRONG; timing stays shape-faithful):
+# comma-set of {nomm, nomin, nogate} — see bench notes in BENCH_KERNELS.json
+_ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 
 
 def _cdiv(a, b):
@@ -115,8 +126,11 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         # --- pass A: start-row sums (h_max, v_argmax, has-any) -------------
         a1 = jnp.concatenate(
             [isst * h, isst * v, isst, jnp.zeros_like(h)], axis=1)  # (C,4)
-        s1 = jax.lax.dot_general(a1, onehot, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if "nomm" in _ABLATE:
+            s1 = jnp.broadcast_to(jnp.sum(a1, axis=0)[:, None], (4, TILE))
+        else:
+            s1 = jax.lax.dot_general(a1, onehot, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         acc[0:4, :] += s1
 
         # --- anchor + gate ---------------------------------------------------
@@ -129,8 +143,13 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         # per-point broadcast: masked lane-sums of the one-hot (each row has
         # at most one live lane).  NOT a matmul: an MXU contraction to N=2
         # pads to a full 128-lane tile and wastes ~64x the FLOPs.
-        ae_pt = jnp.sum(onehot * anchor_e[None, :], axis=1, keepdims=True)
-        b_pt = jnp.sum(onehot * band[None, :], axis=1, keepdims=True)
+        if "nogate" in _ABLATE:
+            ae_pt = jnp.sum(anchor_e) * 1e-30 + h * 0.0
+            b_pt = jnp.sum(band) * 1e-30 + v
+        else:
+            ae_pt = jnp.sum(onehot * anchor_e[None, :], axis=1,
+                            keepdims=True)
+            b_pt = jnp.sum(onehot * band[None, :], axis=1, keepdims=True)
         inl = valid & (jnp.abs(h - ae_pt) <= b_pt)
         outl = valid & ~inl
         w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
@@ -142,20 +161,30 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         a2 = jnp.concatenate(
             [inl_f * w, inl_f * w * h, argout, oc, oc * v, oc * colf,
              oc * inten, jnp.zeros_like(h)], axis=1)   # (C, 8)
-        s2 = jax.lax.dot_general(a2, onehot, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if "nomm" in _ABLATE:
+            s2 = jnp.broadcast_to(jnp.sum(a2, axis=0)[:, None], (8, TILE))
+        else:
+            s2 = jax.lax.dot_general(a2, onehot, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         acc[4:12, :] += s2
 
         # --- masked mins: color v_c (+payload at tie) and lowest ------------
         mo = onehot > 0.0
-        contrib = mo & (inl & (hc > 0.5))
-        v_b = jnp.broadcast_to(v, (CHUNK, TILE))
-        vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
-        tie = contrib & (v_b == vc_chunk[None, :])
-        col_chunk = jnp.min(jnp.where(
-            tie, jnp.broadcast_to(colf, (CHUNK, TILE)), _INF), axis=0)
-        int_chunk = jnp.min(jnp.where(
-            tie, jnp.broadcast_to(inten, (CHUNK, TILE)), _INF), axis=0)
+        if "nomin" in _ABLATE:
+            dep = jnp.sum(v) * 1e-30 + jnp.sum(inl) * 1e-30
+            vc_chunk = anchor_e + dep
+            col_chunk = vc_chunk
+            int_chunk = vc_chunk + jnp.sum(colf) * 1e-30 \
+                + jnp.sum(inten) * 1e-30
+        else:
+            contrib = mo & (inl & (hc > 0.5))
+            v_b = jnp.broadcast_to(v, (CHUNK, TILE))
+            vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
+            tie = contrib & (v_b == vc_chunk[None, :])
+            col_chunk = jnp.min(jnp.where(
+                tie, jnp.broadcast_to(colf, (CHUNK, TILE)), _INF), axis=0)
+            int_chunk = jnp.min(jnp.where(
+                tie, jnp.broadcast_to(inten, (CHUNK, TILE)), _INF), axis=0)
         vc_old = accmin[0, :]
         lt = vc_chunk < vc_old
         eq = vc_chunk == vc_old

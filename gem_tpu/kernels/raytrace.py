@@ -73,16 +73,44 @@ def _tables(L: int, R: int, G: int):
     and its inverse (sort 2), group geometry."""
     robot = _robot_geo(L)
     gx, gy = np.meshgrid(np.arange(L), np.arange(L), indexing="ij")
-    dx = gx - robot
-    dy = gy - robot
+    dx = (gx - robot).astype(np.float64)
+    dy = (gy - robot).astype(np.float64)
     d = np.hypot(dx, dy).astype(np.float32)                    # (L, L)
-    ray = np.round(np.arctan2(dy, dx) * (R / (2.0 * math.pi)))
-    ray = ray.astype(np.int64).reshape(-1) % R
+    # square-angle (perimeter) parametrisation instead of atan2: every ray
+    # then covers an equal share of the map BOUNDARY, so per-ray cell counts
+    # equalise (atan2 rays toward corners hold ~2x the cells of axis rays,
+    # doubling the padded sort size).  u is continuous and monotone in the
+    # true azimuth; ray angular width varies by <=2x across directions.
+    adx = np.abs(dx)
+    ady = np.abs(dy)
+    sx = np.where(adx > 0, dx, 1.0)
+    sy = np.where(ady > 0, dy, 1.0)
+    u = np.where(adx >= ady,
+                 np.where(dx >= 0, dy / sx, 4.0 + dy / sx),
+                 np.where(dy >= 0, 2.0 - dx / sy, 6.0 - dx / sy))
+    ray = np.floor((u + 1.0) * (R / 8.0)).astype(np.int64).reshape(-1) % R
     flat_d = d.reshape(-1)
 
-    order = np.lexsort((flat_d, ray))           # by ray, then distance
+    # Exact lattice directions (the axes/diagonals) pile ~L/2 same-u cells
+    # into single rays, which would set the padded capacity for EVERY ray
+    # (2x the sort size).  Spill each fat ray's FARTHEST cells to its next
+    # neighbor (static, bounded angular drift of a few ray widths; only the
+    # far tails of a handful of degenerate rays move — PARITY.md).
     counts = np.bincount(ray, minlength=R)
-    cap = int(np.ceil(max(counts.max(), 1) / G) * G)
+    cap = int(np.ceil(max(1.12 * (L * L) / R, counts.max() / 8, G) / G) * G)
+    if counts.max() > cap:
+        by_d = np.argsort(flat_d, kind="stable")     # global far-last order
+        for _ in range(4 * R):
+            fat = int(np.argmax(np.bincount(ray, minlength=R)))
+            cnt = int(np.sum(ray == fat))
+            if cnt <= cap:
+                break
+            members = by_d[ray[by_d] == fat]
+            ray[members[cap:]] = (fat + 1) % R
+        counts = np.bincount(ray, minlength=R)
+        cap = int(np.ceil(max(counts.max(), 1) / G) * G)
+
+    order = np.lexsort((flat_d, ray))           # by ray, then distance
     nslots = R * cap
     starts = np.cumsum(counts) - counts
     pos_in_ray = np.arange(L * L) - np.repeat(starts, counts)

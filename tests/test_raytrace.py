@@ -100,3 +100,29 @@ def test_matches_oracle_dense_random():
     # discretisation differs (polar bins vs dense walk): demand >=90% match
     assert total > 10
     assert agree / total >= 0.9, (agree, total)
+
+
+def test_ray_tables_are_bijective():
+    """Static layout invariants: every cell owns exactly one slot, pads fill
+    the rest, and slots within a ray are distance-ordered (including cells
+    spilled off degenerate lattice rays)."""
+    from gem_tpu.kernels.raytrace import _tables
+
+    for L, R, G in [(25, 128, 2), (64, 256, 2)]:
+        d, key1, key2, cap, nslots = _tables(L, R, G)
+        assert nslots == R * cap
+        # key1: [cells' slots, pad slots] is a permutation of 0..nslots-1
+        assert np.array_equal(np.sort(key1), np.arange(nslots))
+        # key2 inverts it for real cells
+        cell_of_slot = np.full(nslots, -1, np.int64)
+        cell_of_slot[key1[:L * L]] = np.arange(L * L)
+        real = cell_of_slot >= 0
+        assert np.array_equal(np.sort(key2[real]), np.arange(L * L))
+        # distance-monotone within each ray among real slots
+        flat_d = d.reshape(-1)
+        slot_d = np.full(nslots, np.nan, np.float32)
+        slot_d[key1[:L * L]] = flat_d
+        per_ray = slot_d.reshape(R, cap)
+        for r in range(R):
+            ds = per_ray[r][~np.isnan(per_ray[r])]
+            assert (np.diff(ds) >= 0).all()
