@@ -400,6 +400,51 @@ def phase_cumsum(spec):
     return {"per_program_ms": ms * 1e3}
 
 
+def phase_raytrace(spec):
+    """raytrace_cleanup alone, K-chained through the elevation plane."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gem_tpu.config import MapConfig
+    from gem_tpu.core.state import init_map_state
+    from gem_tpu.kernels.raytrace import raytrace_cleanup
+
+    L = spec.get("length", LENGTH)
+    cfg = MapConfig(length=L, resolution=0.1)
+    rng = np.random.default_rng(0)
+    st = init_map_state(cfg)
+    st = st.replace(
+        elevation=jnp.asarray(rng.normal(0, 0.5, (L, L)), jnp.float32),
+        variance=jnp.full((L, L), 1e-3),
+        lowest=jnp.asarray(rng.normal(0, 0.5, (L, L)), jnp.float32),
+        sensor_z=jnp.float32(1.0))
+    traver = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (L, L)), jnp.float32))
+    low0 = st.lowest
+
+    def f(elev, low):
+        s = st.replace(elevation=elev, lowest=low)
+        out = raytrace_cleanup(s, cfg, traver)
+        # keep each iteration's work real: restore a lowest plane that
+        # depends on the previous output
+        return out.elevation, low0 + out.elevation[:1, :1] * 1e-20
+
+    f = jax.jit(f)
+    e0 = jax.device_put(st.elevation)
+
+    def run(K):
+        e, lw = e0, low0
+        t0 = time.perf_counter()
+        for _ in range(K):
+            e, lw = f(e, lw)
+        _fetch(e[0, 0])
+        return time.perf_counter() - t0
+
+    ms, lo, hi = slope_time(run, k_lo=4, k_hi=24)
+    return {"per_program_ms": ms * 1e3}
+
+
 def _make_step_inputs(spec):
     import jax
 
@@ -415,6 +460,7 @@ def _make_step_inputs(spec):
         enable_raytrace=spec.get("raytrace", True),
         enable_submaps=spec.get("submaps", True),
         enable_lowest=spec.get("lowest", True),
+        enable_color=spec.get("color", True),
     )
     frames = []
     for frame, _, _ in synthetic_frames(cfg, spec.get("n_frames", 8),
@@ -492,6 +538,7 @@ PHASES = {
     "scatter_sorted": phase_scatter_sorted,
     "scan_seg": phase_scan_seg,
     "cumsum": phase_cumsum,
+    "raytrace": phase_raytrace,
     "step": phase_step,
     "scan": phase_scan,
 }

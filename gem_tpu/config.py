@@ -240,6 +240,11 @@ class PipelineConfig:
     # both True.
     enable_submaps: bool = True
     enable_lowest: bool = True
+    # False statically strips the color/intensity fuse machinery for
+    # colorless (camera-less) deployments — faithful: the reference's color
+    # gate (r*g*b != 0 & intensity != 0, gpu_process.cu:488) never fires
+    # without colors, so the planes are untouched either way.
+    enable_color: bool = True
     # odometry-jump handling (src/ElevationMapping.cpp:987-993): consecutive
     # frames with |dz| <= jump_z_tolerance needed to declare the jump settled.
     jump_z_tolerance: float = 0.02

@@ -58,8 +58,8 @@ _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
 # flagship point (see BENCH_KERNELS.json); env overrides for tuning.
 import os as _os
 
-TILE = int(_os.environ.get("GEM_FUSE_TILE", 256))    # cells per kernel tile
-CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 256))  # points per inner chunk
+TILE = int(_os.environ.get("GEM_FUSE_TILE", 512))    # cells per kernel tile
+CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 1024))  # points per inner chunk
 assert TILE % 128 == 0 and CHUNK % 128 == 0
 _ROWS = 8            # packed point-matrix rows
 _INF = float("inf")
@@ -74,7 +74,7 @@ def _cdiv(a, b):
 
 def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
             elev_ref, var_ref, color_ref, inten_ref, low_ref,
-            buf, sem, acc, accmin, *, mcfg, with_lowest):
+            buf, sem, acc, accmin, *, mcfg, with_lowest, with_color):
     t = pl.program_id(0)
     base = (t * TILE).astype(jnp.float32)
     p_lo = starts_ref[t]
@@ -157,10 +157,15 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         # --- pass B: gated sums + start-row outlier payload -----------------
         inl_f = inl.astype(jnp.float32)
         argout = isst * outl.astype(jnp.float32)       # <=1 row per cell
-        oc = argout * hc
-        a2 = jnp.concatenate(
-            [inl_f * w, inl_f * w * h, argout, oc, oc * v, oc * colf,
-             oc * inten, jnp.zeros_like(h)], axis=1)   # (C, 8)
+        z = jnp.zeros_like(h)
+        if with_color:
+            oc = argout * hc
+            a2 = jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout, oc, oc * v, oc * colf,
+                 oc * inten, z], axis=1)               # (C, 8)
+        else:
+            a2 = jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout, z, z, z, z, z], axis=1)
         if "nomm" in _ABLATE:
             s2 = jnp.broadcast_to(jnp.sum(a2, axis=0)[:, None], (8, TILE))
         else:
@@ -170,33 +175,34 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
 
         # --- masked mins: color v_c (+payload at tie) and lowest ------------
         mo = onehot > 0.0
-        if "nomin" in _ABLATE:
-            dep = jnp.sum(v) * 1e-30 + jnp.sum(inl) * 1e-30
-            vc_chunk = anchor_e + dep
-            col_chunk = vc_chunk
-            int_chunk = vc_chunk + jnp.sum(colf) * 1e-30 \
-                + jnp.sum(inten) * 1e-30
-        else:
-            contrib = mo & (inl & (hc > 0.5))
-            v_b = jnp.broadcast_to(v, (CHUNK, TILE))
-            vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
-            tie = contrib & (v_b == vc_chunk[None, :])
-            col_chunk = jnp.min(jnp.where(
-                tie, jnp.broadcast_to(colf, (CHUNK, TILE)), _INF), axis=0)
-            int_chunk = jnp.min(jnp.where(
-                tie, jnp.broadcast_to(inten, (CHUNK, TILE)), _INF), axis=0)
-        vc_old = accmin[0, :]
-        lt = vc_chunk < vc_old
-        eq = vc_chunk == vc_old
-        accmin[0, :] = jnp.minimum(vc_old, vc_chunk)
-        accmin[1, :] = jnp.where(
-            lt, col_chunk,
-            jnp.where(eq, jnp.minimum(accmin[1, :], col_chunk),
-                      accmin[1, :]))
-        accmin[2, :] = jnp.where(
-            lt, int_chunk,
-            jnp.where(eq, jnp.minimum(accmin[2, :], int_chunk),
-                      accmin[2, :]))
+        if with_color:
+            if "nomin" in _ABLATE:
+                dep = jnp.sum(v) * 1e-30 + jnp.sum(inl) * 1e-30
+                vc_chunk = anchor_e + dep
+                col_chunk = vc_chunk
+                int_chunk = vc_chunk + jnp.sum(colf) * 1e-30 \
+                    + jnp.sum(inten) * 1e-30
+            else:
+                contrib = mo & (inl & (hc > 0.5))
+                v_b = jnp.broadcast_to(v, (CHUNK, TILE))
+                vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
+                tie = contrib & (v_b == vc_chunk[None, :])
+                col_chunk = jnp.min(jnp.where(
+                    tie, jnp.broadcast_to(colf, (CHUNK, TILE)), _INF),
+                    axis=0)
+                int_chunk = jnp.min(jnp.where(
+                    tie, jnp.broadcast_to(inten, (CHUNK, TILE)), _INF),
+                    axis=0)
+            vc_old = accmin[0, :]
+            lt = vc_chunk < vc_old
+            eq = vc_chunk == vc_old
+            pay_old = accmin[1:3, :]
+            pay_chunk = jnp.stack([col_chunk, int_chunk])
+            accmin[1:3, :] = jnp.where(
+                lt[None, :], pay_chunk,
+                jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
+                          pay_old))
+            accmin[0, :] = jnp.minimum(vc_old, vc_chunk)
         if with_lowest:
             low_b = jnp.broadcast_to(h + 3.0 * v, (CHUNK, TILE))
             accmin[3, :] = jnp.minimum(
@@ -234,26 +240,36 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
     new_var = jnp.maximum(jnp.where(overwrite, st_v, post_var),
                           mcfg.min_variance)
 
-    vc_in = accmin[0, :]
-    v_c = jnp.where(overwrite, jnp.where(oc_n > 0.0, oc_v, _INF), vc_in)
-    best_color = jnp.where(overwrite, oc_c, accmin[1, :])
-    best_inten = jnp.where(overwrite, oc_i, accmin[2, :])
-    color_update = jnp.isfinite(v_c) & (init_path | kalman_path | overwrite)
-
     elev_ref[0, 0, :] = new_elev
     var_ref[0, 0, :] = new_var
-    color_ref[0, 0, :] = jnp.where(color_update, best_color,
-                                   color0_ref[0, 0, :])
-    inten_ref[0, 0, :] = jnp.where(color_update, best_inten,
-                                   inten0_ref[0, 0, :])
+    if with_color:
+        vc_in = accmin[0, :]
+        v_c = jnp.where(overwrite, jnp.where(oc_n > 0.0, oc_v, _INF), vc_in)
+        best_color = jnp.where(overwrite, oc_c, accmin[1, :])
+        best_inten = jnp.where(overwrite, oc_i, accmin[2, :])
+        color_update = jnp.isfinite(v_c) & (init_path | kalman_path
+                                            | overwrite)
+        color_ref[0, 0, :] = jnp.where(color_update, best_color,
+                                       color0_ref[0, 0, :])
+        inten_ref[0, 0, :] = jnp.where(color_update, best_inten,
+                                       inten0_ref[0, 0, :])
+    else:
+        # colorless deployment (no camera, no pre-colorized points): the
+        # reference never updates color/intensity either — G_fuse gates on
+        # r*g*b != 0 (gpu_process.cu:488)
+        color_ref[0, 0, :] = color0_ref[0, 0, :]
+        inten_ref[0, 0, :] = inten0_ref[0, 0, :]
     low_ref[0, 0, :] = accmin[3, :]
 
 
 def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
-                with_lowest: bool = True,
+                with_lowest: bool = True, with_color: bool = True,
                 interpret: bool = False) -> MapState:
     """Fuse a processed point batch into the map; also updates `lowest`
-    (when `with_lowest`) from the same sorted stream."""
+    (when `with_lowest`) from the same sorted stream.  `with_color=False`
+    statically removes the color/intensity machinery (faithful for
+    colorless frames: the reference's color gate never fires without
+    rgb+intensity)."""
     mcfg = cfg.map
     L = mcfg.length
     ncell = L * L
@@ -262,26 +278,34 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     P = batch.cell.shape[0]
 
     # --- one 3-key sort: (cell, -h, v) + payloads ---------------------------
-    color_f = batch.color.astype(jnp.float32)   # packed rgb < 2^24: exact
-    has_color = (((batch.color >> 16) & 0xFF) * ((batch.color >> 8) & 0xFF)
-                 * (batch.color & 0xFF) != 0) & (batch.intensity != 0)
     ids = jnp.where(batch.valid, batch.cell, ncell).astype(jnp.int32)
-    ids_s, negh_s, v_s, inten_s, colf_s, hc_s = jax.lax.sort(
-        [ids, -batch.height, batch.variance, batch.intensity, color_f,
-         has_color.astype(jnp.float32)], num_keys=3)
+    if with_color:
+        color_f = batch.color.astype(jnp.float32)  # packed rgb<2^24: exact
+        has_color = (((batch.color >> 16) & 0xFF)
+                     * ((batch.color >> 8) & 0xFF)
+                     * (batch.color & 0xFF) != 0) & (batch.intensity != 0)
+        ids_s, negh_s, v_s, inten_s, colf_s, hc_s = jax.lax.sort(
+            [ids, -batch.height, batch.variance, batch.intensity, color_f,
+             has_color.astype(jnp.float32)], num_keys=3)
+    else:
+        ids_s, negh_s, v_s = jax.lax.sort(
+            [ids, -batch.height, batch.variance], num_keys=3)
+        inten_s = colf_s = hc_s = jnp.zeros((P,), jnp.float32)
 
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
-    pts = jnp.stack([
-        ids_s.astype(jnp.float32),        # exact: ids <= ncell < 2^24
-        -negh_s,                          # h
-        v_s, inten_s, colf_s, hc_s,
-        is_start.astype(jnp.float32),
-        jnp.zeros((P,), jnp.float32),
-    ])                                                     # (8, P)
-    # pad the point axis so the last chunk's fixed-size DMA stays in bounds
-    pts = jnp.pad(pts, ((0, 0), (0, CHUNK)),
-                  constant_values=float(cpad + TILE))
+    # one concatenate -> (8, Ppad): point axis padded so the last chunk's
+    # fixed-size DMA stays in bounds (pad id = beyond every tile => masked)
+    pad = jnp.full((CHUNK,), float(cpad + TILE), jnp.float32)
+    zpad = jnp.zeros((CHUNK,), jnp.float32)
+    rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
+            -negh_s,                      # h
+            v_s, inten_s, colf_s, hc_s,
+            is_start.astype(jnp.float32),
+            jnp.zeros((P,), jnp.float32)]
+    pts = jnp.concatenate(
+        [jnp.concatenate([r, pad if i == 0 else zpad])
+         for i, r in enumerate(rows)]).reshape(_ROWS, P + CHUNK)
 
     starts = jnp.searchsorted(
         ids_s, jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE,
@@ -320,7 +344,8 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             pltpu.VMEM((4, TILE), jnp.float32),            # min accumulators
         ],
     )
-    kern = functools.partial(_kernel, mcfg=mcfg, with_lowest=with_lowest)
+    kern = functools.partial(_kernel, mcfg=mcfg, with_lowest=with_lowest,
+                             with_color=with_color)
     out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.float32)] * 5
     new_elev, new_var, new_colf, new_inten, low_sto = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,

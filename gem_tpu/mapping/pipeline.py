@@ -154,6 +154,7 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
 
         map_state = fuse_stream(
             map_state, cfg, batch, with_lowest=cfg.enable_lowest,
+            with_color=cfg.enable_color,
             interpret=fuse_backend == "stream_interpret")
     elif fuse_backend != "none":  # "none": probe-only ablation (bench/probe.py)
         map_state = fuse(map_state, cfg, batch, backend=fuse_backend)

@@ -158,3 +158,27 @@ def test_step_stream_matches_segment_end_to_end():
     assert np.abs(ea[both] - eb[both]).max() < 1e-3
     np.testing.assert_allclose(np.asarray(sa.map.lowest),
                                np.asarray(sb.map.lowest), atol=1e-5)
+
+
+def test_stream_colorless_mode():
+    """with_color=False: elevation/variance identical to the full path on a
+    colorless batch; color/intensity planes pass through untouched."""
+    rng = np.random.default_rng(6)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=1024)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 1024)
+    batch = dataclasses.replace(batch,
+                                color=jnp.zeros_like(batch.color),
+                                intensity=jnp.zeros_like(batch.intensity))
+    a = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         with_color=True,
+                                         interpret=True))(st, batch)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         with_color=False,
+                                         interpret=True))(st, batch)
+    for k in ("elevation", "variance", "lowest"):
+        np.testing.assert_allclose(np.asarray(getattr(a, k)),
+                                   np.asarray(getattr(b, k)), atol=1e-6)
+    assert np.array_equal(np.asarray(b.color), np.asarray(st.color))
+    assert np.array_equal(np.asarray(b.intensity), np.asarray(st.intensity))
