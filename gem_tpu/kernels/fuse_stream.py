@@ -11,8 +11,8 @@ in tests/test_fuse_stream.py.
 Key structural facts that make it fast:
 
 1.  **A 3-key `lax.sort` by (cell, -height, variance)** co-sorts every
-    payload column in ~2 ms at 1M points (measured, PROBE_prims.json) and
-    makes every arg-statistic a SEGMENT-START row:
+    payload column in ~2-3 ms at 1M points and makes every arg-statistic a
+    SEGMENT-START row:
       * the start row of a cell's run is its highest point => h_max and
         v(argmax) (ties broken by min variance, exactly fuse()'s reduce);
       * an above-band outlier exists iff the start row is an outlier, and
@@ -20,18 +20,26 @@ Key structural facts that make it fast:
         the global max h of the run; any above-outlier h > anchor + B
         forces md(start) > threshold).  So the overwrite branch's h/v/color
         all live on the start row and reduce by plain sums.
-2.  **The sorted stream is processed tile-by-tile**: cells are split into
-    1024-wide tiles; a prefix `searchsorted` gives each tile its contiguous
-    sorted point range; the kernel loops over that range in 512-point
-    chunks.  Every per-cell reduction is a one-hot matmul
-    (points x cells, MXU) and every per-point broadcast is the transposed
-    contraction of the same one-hot — no XLA scatter or gather anywhere.
-3.  The per-cell prior (elevation/variance tile) is resident in VMEM, so
-    the Mahalanobis gate needs no 1M-point gather of the map.
-4.  The `lowest` bound (min over points of h + 3*var per cell,
+2.  **The sorted stream is processed tile-by-tile**: cells split into
+    TILE-wide tiles; a prefix `searchsorted` gives each tile its contiguous
+    sorted point range; the kernel loops over it in CHUNK-point chunks.
+    Per-cell sums are one-hot matmuls (MXU); per-point broadcasts are
+    masked lane-sums of the same one-hot; per-cell mins are masked column
+    reductions — no XLA scatter or gather anywhere.
+3.  The per-cell prior (elevation/variance tile) is VMEM-resident, so the
+    Mahalanobis gate needs no 1M-point map gather.
+4.  The kernel emits RAW per-cell aggregates (16 rows); the posterior /
+    Kalman / color / floor logic runs as one dense XLA elementwise pass
+    afterwards.  The in-kernel epilogue is a single block write — the
+    earlier per-tile posterior cost ~10 us/tile of thin-op and extra block
+    traffic (device-trace finding, round 2).
+5.  Color statistics are skipped per chunk when no point carries a color
+    (one scalar test) — colorless LiDAR streams pay nothing for the camera
+    path while colored streams keep exact semantics.
+6.  The `lowest` bound (min over points of h + 3*var per cell,
     kernels/pointproc.py note) rides the same pass as one masked min; the
     storage-indexed result is rolled to the geographic layout afterwards
-    (a bijection — cheap jnp.roll, not a second reduction).
+    (a bijection — one jnp.roll, not a second reduction).
 
 Reference anchor: G_fuse (gpu_process.cu:477-537) is O(L^2 * N) with one
 thread per cell scanning every point; this is O(N log N) sort + O(N) stream.
@@ -40,6 +48,7 @@ thread per cell scanning every point; this is O(N log N) sort + O(N) stream.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -51,20 +60,18 @@ from gem_tpu.core.state import MapState
 from gem_tpu.kernels.pointproc import PointBatch
 
 _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
-# Tile/chunk geometry.  MXU one-hot passes cost ~N_points * TILE / 128^2
-# tile-passes TOTAL (independent of CHUNK), so small tiles are cheap on the
-# MXU; the floor is per-grid-step + per-chunk overhead (~ncell/TILE +
-# N/CHUNK iterations).  256/256 measured fastest at the 1M-pt/1M-cell
-# flagship point (see BENCH_KERNELS.json); env overrides for tuning.
-import os as _os
-
-TILE = int(_os.environ.get("GEM_FUSE_TILE", 512))    # cells per kernel tile
-CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 1024))  # points per inner chunk
+# Tile/chunk geometry.  Throughput work (one-hot build, matmuls, masked
+# mins) scales with N_points * TILE; fixed work scales with ncell/TILE
+# grid steps (~3 us each) + point chunks (~2 us each).  1024/1024 balances
+# them at the 1M-pt/1M-cell flagship point; env overrides for tuning.
+TILE = int(_os.environ.get("GEM_FUSE_TILE", 1024))
+CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 512))   # (CHUNK,TILE) temps
+# must fit the 16 MB scoped VMEM: ~4 live f32 temps + buffers
 assert TILE % 128 == 0 and CHUNK % 128 == 0
 _ROWS = 8            # packed point-matrix rows
+_STATS = 16          # aggregate rows per cell (see _kernel docstring)
 _INF = float("inf")
-# timing-ablation knob (results become WRONG; timing stays shape-faithful):
-# comma-set of {nomm, nomin, nogate} — see bench notes in BENCH_KERNELS.json
+# timing-ablation knob (results become WRONG; timing stays shape-faithful)
 _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 
 
@@ -72,9 +79,25 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
-            elev_ref, var_ref, color_ref, inten_ref, low_ref,
-            buf, sem, acc, accmin, *, mcfg, with_lowest, with_color):
+def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
+            buf, sem, *, mcfg, with_lowest, with_color):
+    """Aggregate rows written to stats_ref (1, 16, TILE):
+
+      0 st_h   sum of is_start*h        (= h_max)
+      1 st_v   sum of is_start*v        (= v at argmax, min-v tie)
+      2 st_n   sum of is_start          (cell has any point)
+      4 W      sum of inlier weights
+      5 WH     sum of inlier w*h
+      6 st_out start row is an outlier
+      7 oc_n   start row outlier+colored
+      8 oc_v   its variance
+      9 oc_c   its packed color
+     10 oc_i   its intensity
+     12 vc     min v over inlier+colored      (+inf if none)
+     13 colf   min packed color at the vc tie (+inf)
+     14 inten  min intensity at the vc tie    (+inf)
+     15 low    min (h + 3v) over valid        (+inf)
+    """
     t = pl.program_id(0)
     base = (t * TILE).astype(jnp.float32)
     p_lo = starts_ref[t]
@@ -84,13 +107,12 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
     aligned = (p_lo // CHUNK) * CHUNK
     n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
 
-    acc[...] = jnp.zeros_like(acc)
-    accmin[...] = jnp.full_like(accmin, _INF)
+    stats_ref[0, 0:12, :] = jnp.zeros((12, TILE), jnp.float32)
+    stats_ref[0, 12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
 
     e0 = elev0_ref[0, 0, :]                    # (TILE,)
-    var0 = var0_ref[0, 0, :]
+    var0c = jnp.maximum(var0_ref[0, 0, :], mcfg.min_variance)
     empty = e0 == mcfg.invalid_elevation
-    var0c = jnp.maximum(var0, mcfg.min_variance)
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
 
     def get_dma(slot, j):
@@ -105,12 +127,11 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
     def chunk_body(j, _):
         slot = jax.lax.rem(j, 2)
 
-        # double buffering: next chunk's DMA flies during this compute
         @pl.when(j + 1 < n_chunks)
         def _():
             get_dma(1 - slot, j + 1).start()
         get_dma(slot, j).wait()
-        p = buf[slot].astype(jnp.float32)      # (8, CHUNK)
+        p = buf[slot]
         pT = jnp.transpose(p)                  # (CHUNK, 8)
         cl = pT[:, 0:1] - base                 # (CHUNK, 1) local cell
         h = pT[:, 1:2]
@@ -123,19 +144,19 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         cl_i = cl.astype(jnp.int32)            # exact: cell ids < 2^24
         onehot = jnp.where((cl_i == lane) & valid, 1.0, 0.0)  # (CHUNK, TILE)
 
-        # --- pass A: start-row sums (h_max, v_argmax, has-any) -------------
+        # --- pass A: start-row sums (h_max, v_argmax, has-any) --------------
         a1 = jnp.concatenate(
-            [isst * h, isst * v, isst, jnp.zeros_like(h)], axis=1)  # (C,4)
+            [isst * h, isst * v, isst, jnp.zeros_like(h)], axis=1)  # (C, 4)
         if "nomm" in _ABLATE:
             s1 = jnp.broadcast_to(jnp.sum(a1, axis=0)[:, None], (4, TILE))
         else:
             s1 = jax.lax.dot_general(a1, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        acc[0:4, :] += s1
+        stats_ref[0, 0:4, :] += s1
 
-        # --- anchor + gate ---------------------------------------------------
-        st_h = acc[0, :]
-        st_v = acc[1, :]
+        # --- anchor + gate ----------------------------------------------------
+        st_h = stats_ref[0, 0, :]
+        st_v = stats_ref[0, 1, :]
         anchor_e = jnp.where(empty, st_h, e0)
         anchor_v = jnp.where(empty, jnp.maximum(st_v, mcfg.min_variance),
                              var0c)
@@ -151,18 +172,17 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
                             keepdims=True)
             b_pt = jnp.sum(onehot * band[None, :], axis=1, keepdims=True)
         inl = valid & (jnp.abs(h - ae_pt) <= b_pt)
-        outl = valid & ~inl
         w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
 
-        # --- pass B: gated sums + start-row outlier payload -----------------
+        # --- pass B: gated sums + start-row outlier payload ------------------
         inl_f = inl.astype(jnp.float32)
-        argout = isst * outl.astype(jnp.float32)       # <=1 row per cell
+        argout = isst * (valid & ~inl).astype(jnp.float32)  # <=1 row / cell
         z = jnp.zeros_like(h)
         if with_color:
             oc = argout * hc
             a2 = jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout, oc, oc * v, oc * colf,
-                 oc * inten, z], axis=1)               # (C, 8)
+                 oc * inten, z], axis=1)                    # (C, 8)
         else:
             a2 = jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout, z, z, z, z, z], axis=1)
@@ -171,18 +191,21 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
         else:
             s2 = jax.lax.dot_general(a2, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        acc[4:12, :] += s2
+        stats_ref[0, 4:12, :] += s2
 
-        # --- masked mins: color v_c (+payload at tie) and lowest ------------
+        # --- masked mins ------------------------------------------------------
         mo = onehot > 0.0
+        if with_lowest:
+            low_b = jnp.broadcast_to(h + 3.0 * v, (CHUNK, TILE))
+            stats_ref[0, 15, :] = jnp.minimum(
+                stats_ref[0, 15, :],
+                jnp.min(jnp.where(mo, low_b, _INF), axis=0))
+
         if with_color:
-            if "nomin" in _ABLATE:
-                dep = jnp.sum(v) * 1e-30 + jnp.sum(inl) * 1e-30
-                vc_chunk = anchor_e + dep
-                col_chunk = vc_chunk
-                int_chunk = vc_chunk + jnp.sum(colf) * 1e-30 \
-                    + jnp.sum(inten) * 1e-30
-            else:
+            # colorless chunks (common for camera-less LiDAR) skip the
+            # color statistics entirely — one scalar test per chunk
+            @pl.when(jnp.sum(hc) > 0.0)
+            def _():
                 contrib = mo & (inl & (hc > 0.5))
                 v_b = jnp.broadcast_to(v, (CHUNK, TILE))
                 vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
@@ -193,73 +216,19 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, color0_ref, inten0_ref,
                 int_chunk = jnp.min(jnp.where(
                     tie, jnp.broadcast_to(inten, (CHUNK, TILE)), _INF),
                     axis=0)
-            vc_old = accmin[0, :]
-            lt = vc_chunk < vc_old
-            eq = vc_chunk == vc_old
-            pay_old = accmin[1:3, :]
-            pay_chunk = jnp.stack([col_chunk, int_chunk])
-            accmin[1:3, :] = jnp.where(
-                lt[None, :], pay_chunk,
-                jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
-                          pay_old))
-            accmin[0, :] = jnp.minimum(vc_old, vc_chunk)
-        if with_lowest:
-            low_b = jnp.broadcast_to(h + 3.0 * v, (CHUNK, TILE))
-            accmin[3, :] = jnp.minimum(
-                accmin[3, :], jnp.min(jnp.where(mo, low_b, _INF), axis=0))
+                vc_old = stats_ref[0, 12, :]
+                lt = vc_chunk < vc_old
+                eq = vc_chunk == vc_old
+                pay_old = stats_ref[0, 13:15, :]
+                pay_chunk = jnp.stack([col_chunk, int_chunk])
+                stats_ref[0, 13:15, :] = jnp.where(
+                    lt[None, :], pay_chunk,
+                    jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
+                              pay_old))
+                stats_ref[0, 12, :] = jnp.minimum(vc_old, vc_chunk)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    # --- per-cell posterior (identical math to kernels/fuse.py) ------------
-    st_h = acc[0, :]
-    st_v = acc[1, :]
-    st_n = acc[2, :]
-    W = acc[4, :]
-    WH = acc[5, :]
-    st_out = acc[6, :]
-    oc_n = acc[7, :]
-    oc_v = acc[8, :]
-    oc_c = acc[9, :]
-    oc_i = acc[10, :]
-
-    any_candidate = st_n > 0.0
-    any_inlier = W > 0.0
-    V_star = 1.0 / jnp.maximum(W, _WEIGHT_EPS)
-    H_star = WH * V_star
-    init_path = empty & any_candidate
-    kalman_path = ~empty & any_inlier
-    k_elev = (var0c * H_star + V_star * e0) / (var0c + V_star)
-    k_var = var0c * V_star / (var0c + V_star)
-    post_elev = jnp.where(init_path, H_star,
-                          jnp.where(kalman_path, k_elev, e0))
-    post_var = jnp.where(init_path, V_star,
-                         jnp.where(kalman_path, k_var, var0))
-    overwrite = (st_out > 0.0) & (st_h > post_elev) & ~empty
-    new_elev = jnp.where(overwrite, st_h, post_elev)
-    new_var = jnp.maximum(jnp.where(overwrite, st_v, post_var),
-                          mcfg.min_variance)
-
-    elev_ref[0, 0, :] = new_elev
-    var_ref[0, 0, :] = new_var
-    if with_color:
-        vc_in = accmin[0, :]
-        v_c = jnp.where(overwrite, jnp.where(oc_n > 0.0, oc_v, _INF), vc_in)
-        best_color = jnp.where(overwrite, oc_c, accmin[1, :])
-        best_inten = jnp.where(overwrite, oc_i, accmin[2, :])
-        color_update = jnp.isfinite(v_c) & (init_path | kalman_path
-                                            | overwrite)
-        color_ref[0, 0, :] = jnp.where(color_update, best_color,
-                                       color0_ref[0, 0, :])
-        inten_ref[0, 0, :] = jnp.where(color_update, best_inten,
-                                       inten0_ref[0, 0, :])
-    else:
-        # colorless deployment (no camera, no pre-colorized points): the
-        # reference never updates color/intensity either — G_fuse gates on
-        # r*g*b != 0 (gpu_process.cu:488)
-        color_ref[0, 0, :] = color0_ref[0, 0, :]
-        inten_ref[0, 0, :] = inten0_ref[0, 0, :]
-    low_ref[0, 0, :] = accmin[3, :]
 
 
 def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
@@ -269,7 +238,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     (when `with_lowest`) from the same sorted stream.  `with_color=False`
     statically removes the color/intensity machinery (faithful for
     colorless frames: the reference's color gate never fires without
-    rgb+intensity)."""
+    rgb+intensity); with it on, colorless CHUNKS are skipped dynamically."""
     mcfg = cfg.map
     L = mcfg.length
     ncell = L * L
@@ -318,51 +287,80 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
 
     elev0 = tiles(state.elevation, mcfg.invalid_elevation)
     var0 = tiles(state.variance, mcfg.invalid_variance)
-    color0 = tiles(state.color)
-    inten0 = tiles(state.intensity)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),          # pts
+            pl.BlockSpec(memory_space=pl.ANY),                # pts
             pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),         # elev0
+                         memory_space=pltpu.VMEM),            # elev0
             pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),         # var0
-            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),         # color0
-            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),         # inten0
+                         memory_space=pltpu.VMEM),            # var0
         ],
-        out_specs=[pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                                memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec((1, _STATS, TILE), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),    # 2 chunk buffers
+            pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),       # chunk buffers
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((12, TILE), jnp.float32),           # sum accumulators
-            pltpu.VMEM((4, TILE), jnp.float32),            # min accumulators
         ],
     )
     kern = functools.partial(_kernel, mcfg=mcfg, with_lowest=with_lowest,
                              with_color=with_color)
-    out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, TILE), jnp.float32)] * 5
-    new_elev, new_var, new_colf, new_inten, low_sto = pl.pallas_call(
-        kern, grid_spec=grid_spec, out_shape=out_shape,
+    stats = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _STATS, TILE), jnp.float32),
         interpret=interpret,
-    )(starts, pts, elev0, var0, color0, inten0)
+    )(starts, pts, elev0, var0)
 
-    untile = lambda x: x.reshape(-1)[:ncell].reshape(L, L)
-    new_state = state.replace(
-        elevation=untile(new_elev),
-        variance=untile(new_var),
-        color=untile(new_colf).astype(jnp.int32),
-        intensity=untile(new_inten),
-    )
+    # --- dense posterior (identical math to kernels/fuse.py) ---------------
+    s = jnp.moveaxis(stats, 1, 0).reshape(_STATS, cpad)[:, :ncell]
+    st_h, st_v, st_n = s[0], s[1], s[2]
+    W, WH, st_out = s[4], s[5], s[6]
+    oc_n, oc_v, oc_c, oc_i = s[7], s[8], s[9], s[10]
+    vc_in, col_in, int_in, low = s[12], s[13], s[14], s[15]
+
+    elev0f = state.elevation.reshape(-1)
+    var0f = state.variance.reshape(-1)
+    empty = elev0f == mcfg.invalid_elevation
+    var0c = jnp.maximum(var0f, mcfg.min_variance)
+
+    any_candidate = st_n > 0.0
+    any_inlier = W > 0.0
+    V_star = 1.0 / jnp.maximum(W, _WEIGHT_EPS)
+    H_star = WH * V_star
+    init_path = empty & any_candidate
+    kalman_path = ~empty & any_inlier
+    k_elev = (var0c * H_star + V_star * elev0f) / (var0c + V_star)
+    k_var = var0c * V_star / (var0c + V_star)
+    post_elev = jnp.where(init_path, H_star,
+                          jnp.where(kalman_path, k_elev, elev0f))
+    post_var = jnp.where(init_path, V_star,
+                         jnp.where(kalman_path, k_var, var0f))
+    overwrite = (st_out > 0.0) & (st_h > post_elev) & ~empty
+    new_elev = jnp.where(overwrite, st_h, post_elev)
+    new_var = jnp.maximum(jnp.where(overwrite, st_v, post_var),
+                          mcfg.min_variance)
+    new_state = state.replace(elevation=new_elev.reshape(L, L),
+                              variance=new_var.reshape(L, L))
+
+    if with_color:
+        v_c = jnp.where(overwrite, jnp.where(oc_n > 0.0, oc_v, jnp.inf),
+                        vc_in)
+        best_color = jnp.where(overwrite, oc_c, col_in)
+        best_inten = jnp.where(overwrite, oc_i, int_in)
+        color_update = jnp.isfinite(v_c) & (init_path | kalman_path
+                                            | overwrite)
+        new_state = new_state.replace(
+            color=jnp.where(color_update, best_color.astype(jnp.int32),
+                            state.color.reshape(-1)).reshape(L, L),
+            intensity=jnp.where(color_update, best_inten,
+                                state.intensity.reshape(-1)).reshape(L, L))
+
     if with_lowest:
         # storage-indexed per-cell min(h + 3*var) -> geographic layout:
         # geo = (storage - start) mod L on both axes, i.e. one jnp.roll
-        low_geo = jnp.roll(untile(low_sto),
+        low_geo = jnp.roll(low.reshape(L, L),
                            shift=(-state.start[0], -state.start[1]),
                            axis=(0, 1))
         new_state = new_state.replace(
