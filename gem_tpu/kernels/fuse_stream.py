@@ -8,7 +8,7 @@ kernels/fuse.py `fuse()` (anchor-gated associative Kalman combine,
 overwrite-if-higher, min-variance color propagation) — validated row-for-row
 in tests/test_fuse_stream.py.
 
-Key structural facts that make it fast:
+Key structural facts that make it fast (v5):
 
 1.  **A 3-key `lax.sort` by (cell, -height, variance)** co-sorts every
     payload column in ~2-3 ms at 1M points and makes every arg-statistic a
@@ -20,22 +20,32 @@ Key structural facts that make it fast:
         the global max h of the run; any above-outlier h > anchor + B
         forces md(start) > threshold).  So the overwrite branch's h/v/color
         all live on the start row and reduce by plain sums.
-2.  **The sorted stream is processed tile-by-tile**: cells split into
-    TILE-wide tiles; a prefix `searchsorted` gives each tile its contiguous
-    sorted point range; the kernel loops over it in CHUNK-point chunks.
-    Per-cell sums are one-hot matmuls (MXU); per-point broadcasts are
-    masked lane-sums of the same one-hot; per-cell mins are masked column
-    reductions — no XLA scatter or gather anywhere.
-3.  The per-cell prior (elevation/variance tile) is VMEM-resident, so the
-    Mahalanobis gate needs no 1M-point map gather.
-4.  The kernel emits RAW per-cell aggregates (16 rows); the posterior /
-    Kalman / color / floor logic runs as one dense XLA elementwise pass
-    afterwards.  The in-kernel epilogue is a single block write — the
-    earlier per-tile posterior cost ~10 us/tile of thin-op and extra block
-    traffic (device-trace finding, round 2).
+2.  **The kernel is column arithmetic + three skinny MXU matmuls** per
+    point chunk: cells split into TILE-wide tiles; a prefix `searchsorted`
+    gives each tile its contiguous sorted point range; the kernel walks it
+    in CHUNK-point chunks.  Two one-hot layouts are built per chunk by
+    iota-compare (no transposes):
+      * pass B1 `start_colsᵀ @ onehot` accumulates the start-row sums
+        (h_max / v / count) BEFORE the gate reads them;
+      * pass A `[elev0; var0; st_h; st_v] @ onehot_tc` broadcasts the map
+        prior AND the accumulated start anchor to each point — the gate
+        needs no 1M-point map gather and no segmented scan;
+      * pass B2 scatters the gated statistic columns to cells.
+    Every dot contracts the SUBLANE dim of both operands (the MXU-native
+    orientation) and keeps the skinny (<=16) dim on output sublanes.
+    Lane-dim contractions make Mosaic transpose the multi-MB one-hot every
+    chunk, and a skinny RHS pads its lane dim to 128 — both measured as
+    2-3x whole-kernel regressions (round-2 traces).
+3.  XLA `associative_scan` alternatives for the anchor carry cost ~5 ms in
+    slice/pad chains at 1M (trace), so the carry lives in-kernel via B1+A.
+4.  The per-cell prior (elevation/variance tile) is VMEM-resident.  The
+    kernel emits RAW per-cell aggregates (16 rows); the posterior / Kalman
+    / color / floor logic runs as one dense XLA elementwise pass afterwards
+    (an in-kernel epilogue cost ~10 us/tile of thin-op and block traffic).
 5.  Color statistics are skipped per chunk when no point carries a color
     (one scalar test) — colorless LiDAR streams pay nothing for the camera
-    path while colored streams keep exact semantics.
+    path while colored streams keep exact semantics.  `with_color=False`
+    removes the machinery statically.
 6.  The `lowest` bound (min over points of h + 3*var per cell,
     kernels/pointproc.py note) rides the same pass as one masked min; the
     storage-indexed result is rolled to the geographic layout afterwards
@@ -60,18 +70,15 @@ from gem_tpu.core.state import MapState
 from gem_tpu.kernels.pointproc import PointBatch
 
 _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
-# Tile/chunk geometry.  Throughput work (one-hot build, matmuls, masked
-# mins) scales with N_points * TILE; fixed work scales with ncell/TILE
-# grid steps (~3 us each) + point chunks (~2 us each).  1024/1024 balances
-# them at the 1M-pt/1M-cell flagship point; env overrides for tuning.
+# Tile/chunk geometry.  Sweep/one-hot work scales with N_points * TILE;
+# fixed work scales with ncell/TILE grid steps + N/CHUNK chunk iterations.
 TILE = int(_os.environ.get("GEM_FUSE_TILE", 1024))
-CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 512))   # (CHUNK,TILE) temps
-# must fit the 16 MB scoped VMEM: ~4 live f32 temps + buffers
+CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 512))
 assert TILE % 128 == 0 and CHUNK % 128 == 0
-_ROWS = 8            # packed point-matrix rows
+_ROWS = 8            # packed point-matrix rows (both color modes)
 _STATS = 16          # aggregate rows per cell (see _kernel docstring)
 _INF = float("inf")
-# timing-ablation knob (results become WRONG; timing stays shape-faithful)
+# timing-ablation knobs (results become WRONG; timing stays shape-faithful)
 _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 
 
@@ -93,10 +100,11 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
       8 oc_v   its variance
       9 oc_c   its packed color
      10 oc_i   its intensity
+     11 low    sum of is_start*low2 (= per-cell min h+3v via the second
+              sort; 0 if no point — decoded to +inf via st_n)
      12 vc     min v over inlier+colored      (+inf if none)
      13 colf   min packed color at the vc tie (+inf)
      14 inten  min intensity at the vc tie    (+inf)
-     15 low    min (h + 3v) over valid        (+inf)
     """
     t = pl.program_id(0)
     base = (t * TILE).astype(jnp.float32)
@@ -110,10 +118,11 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     stats_ref[0, 0:12, :] = jnp.zeros((12, TILE), jnp.float32)
     stats_ref[0, 12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
 
-    e0 = elev0_ref[0, 0, :]                    # (TILE,)
-    var0c = jnp.maximum(var0_ref[0, 0, :], mcfg.min_variance)
-    empty = e0 == mcfg.invalid_elevation
+    # (TILE, 2) static half of the pass-A matrix (var0 pre-clamped by the
+    # caller), built once per tile in sublane orientation
+    pri2 = jnp.stack([elev0_ref[0, 0, :], var0_ref[0, 0, :]], axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, CHUNK), 0)
 
     def get_dma(slot, j):
         off = pl.multiple_of(aligned + j * CHUNK, CHUNK)
@@ -131,81 +140,94 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         def _():
             get_dma(1 - slot, j + 1).start()
         get_dma(slot, j).wait()
-        p = buf[slot]
+        p = buf[slot]                          # (8, CHUNK)
+        # row-oriented cell ids feed the (TILE, CHUNK) one-hot with no
+        # relayout; the payload transpose itself is small (MXU-lowered)
+        cl_row = p[0:1, :] - base              # (1, CHUNK)
+        valid_row = (cl_row >= 0.0) & (cl_row < float(TILE))
+        if "noprior" not in _ABLATE:
+            oh_tc = jnp.where((cl_row.astype(jnp.int32) == sub) & valid_row,
+                              1.0, 0.0)        # (TILE, CHUNK)
         pT = jnp.transpose(p)                  # (CHUNK, 8)
         cl = pT[:, 0:1] - base                 # (CHUNK, 1) local cell
         h = pT[:, 1:2]
         v = pT[:, 2:3]
-        inten = pT[:, 3:4]
-        colf = pT[:, 4:5]
-        hc = pT[:, 5:6]
-        isst = pT[:, 6:7]
+        isst = pT[:, 3:4]
         valid = (cl >= 0.0) & (cl < float(TILE))
         cl_i = cl.astype(jnp.int32)            # exact: cell ids < 2^24
         onehot = jnp.where((cl_i == lane) & valid, 1.0, 0.0)  # (CHUNK, TILE)
 
-        # --- pass A: start-row sums (h_max, v_argmax, has-any) --------------
-        a1 = jnp.concatenate(
-            [isst * h, isst * v, isst, jnp.zeros_like(h)], axis=1)  # (C, 4)
+        # --- pass B1: start-row sums (h_max, v_argmax, count) ---------------
+        b1 = jnp.concatenate([isst * h, isst * v, isst], axis=1)  # (C, 3)
         if "nomm" in _ABLATE:
-            s1 = jnp.broadcast_to(jnp.sum(a1, axis=0)[:, None], (4, TILE))
+            s1 = jnp.broadcast_to(jnp.sum(b1, axis=0)[:, None], (3, TILE))
         else:
-            s1 = jax.lax.dot_general(a1, onehot, (((0,), (0,)), ((), ())),
+            s1 = jax.lax.dot_general(b1, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        stats_ref[0, 0:4, :] += s1
+        stats_ref[0, 0:3, :] += s1
 
-        # --- anchor + gate ----------------------------------------------------
-        st_h = stats_ref[0, 0, :]
-        st_v = stats_ref[0, 1, :]
-        anchor_e = jnp.where(empty, st_h, e0)
-        anchor_v = jnp.where(empty, jnp.maximum(st_v, mcfg.min_variance),
-                             var0c)
-        band = mcfg.mahalanobis_threshold * jnp.sqrt(anchor_v)
-        # per-point broadcast: masked lane-sums of the one-hot (each row has
-        # at most one live lane).  NOT a matmul: an MXU contraction to N=2
-        # pads to a full 128-lane tile and wastes ~64x the FLOPs.
-        if "nogate" in _ABLATE:
-            ae_pt = jnp.sum(anchor_e) * 1e-30 + h * 0.0
-            b_pt = jnp.sum(band) * 1e-30 + v
+        # --- pass A: broadcast prior + start anchor to each point (MXU) -----
+        # LHS (TILE, 4): skinny dim on output SUBLANES (pads to 8, not 128)
+        pri = jnp.concatenate(
+            [pri2, jnp.transpose(stats_ref[0, 0:2, :])], axis=1)  # (T, 4)
+        if "noprior" in _ABLATE:
+            e0_pt = h * 0.0 + jnp.sum(pri) * 1e-30
+            v0_pt = v * 0.0 + mcfg.min_variance
+            sth = h
+            stv = v
         else:
-            ae_pt = jnp.sum(onehot * anchor_e[None, :], axis=1,
-                            keepdims=True)
-            b_pt = jnp.sum(onehot * band[None, :], axis=1, keepdims=True)
-        inl = valid & (jnp.abs(h - ae_pt) <= b_pt)
-        w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
+            prior = jnp.transpose(jax.lax.dot_general(
+                pri, oh_tc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))           # (CHUNK, 4)
+            e0_pt = prior[:, 0:1]
+            v0_pt = prior[:, 1:2]
+            sth = prior[:, 2:3]
+            stv = prior[:, 3:4]
 
-        # --- pass B: gated sums + start-row outlier payload ------------------
+        # --- gate (pure column math) ----------------------------------------
+        empty = e0_pt == mcfg.invalid_elevation
+        anchor_e = jnp.where(empty, sth, e0_pt)
+        anchor_v = jnp.where(empty, jnp.maximum(stv, mcfg.min_variance),
+                             v0_pt)
+        band = mcfg.mahalanobis_threshold * jnp.sqrt(anchor_v)
+        inl = valid & (jnp.abs(h - anchor_e) <= band)
         inl_f = inl.astype(jnp.float32)
+        w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
         argout = isst * (valid & ~inl).astype(jnp.float32)  # <=1 row / cell
         z = jnp.zeros_like(h)
+        # `low2` is (h + 3v) co-sorted by the SECOND sort (cell, low asc):
+        # its is_start row holds the cell's min, and position i of both sort
+        # orders belongs to the same cell (identical id sequences), so the
+        # same one-hot scatters it — `lowest` costs one sum column instead
+        # of a dense (CHUNK, TILE) masked-min sweep (~20% of kernel time).
+        low_c = isst * pT[:, 7:8] if with_lowest else z
+
+        # --- pass B2: gated sums + start-row outlier payload + lowest -------
         if with_color:
+            inten = pT[:, 4:5]
+            colf = pT[:, 5:6]
+            hc = pT[:, 6:7]
             oc = argout * hc
-            a2 = jnp.concatenate(
-                [inl_f * w, inl_f * w * h, argout, oc, oc * v, oc * colf,
-                 oc * inten, z], axis=1)                    # (C, 8)
+            b2 = jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout,
+                 oc, oc * v, oc * colf, oc * inten, low_c], axis=1)  # (C, 8)
         else:
-            a2 = jnp.concatenate(
-                [inl_f * w, inl_f * w * h, argout, z, z, z, z, z], axis=1)
+            b2 = jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
+                axis=1)
         if "nomm" in _ABLATE:
-            s2 = jnp.broadcast_to(jnp.sum(a2, axis=0)[:, None], (8, TILE))
+            s2 = jnp.broadcast_to(jnp.sum(b2, axis=0)[:, None], (8, TILE))
         else:
-            s2 = jax.lax.dot_general(a2, onehot, (((0,), (0,)), ((), ())),
+            s2 = jax.lax.dot_general(b2, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
         stats_ref[0, 4:12, :] += s2
-
-        # --- masked mins ------------------------------------------------------
-        mo = onehot > 0.0
-        if with_lowest:
-            low_b = jnp.broadcast_to(h + 3.0 * v, (CHUNK, TILE))
-            stats_ref[0, 15, :] = jnp.minimum(
-                stats_ref[0, 15, :],
-                jnp.min(jnp.where(mo, low_b, _INF), axis=0))
 
         if with_color:
             # colorless chunks (common for camera-less LiDAR) skip the
             # color statistics entirely — one scalar test per chunk
             @pl.when(jnp.sum(hc) > 0.0)
             def _():
+                mo = onehot > 0.0
                 contrib = mo & (inl & (hc > 0.5))
                 v_b = jnp.broadcast_to(v, (CHUNK, TILE))
                 vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
@@ -259,19 +281,32 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     else:
         ids_s, negh_s, v_s = jax.lax.sort(
             [ids, -batch.height, batch.variance], num_keys=3)
-        inten_s = colf_s = hc_s = jnp.zeros((P,), jnp.float32)
+
+    if with_lowest:
+        # second sort (cell, h+3v asc): its segment-start row is the cell's
+        # `lowest` bound, and because both sorts produce the identical cell
+        # id sequence, position i of low2 belongs to the same cell as
+        # position i of the main order — the kernel scatters it with the
+        # same one-hot as one extra sum column (no dense min sweep).
+        _, low2 = jax.lax.sort(
+            [ids, batch.height + 3.0 * batch.variance], num_keys=2)
+    else:
+        low2 = jnp.zeros((P,), jnp.float32)
 
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
     # one concatenate -> (8, Ppad): point axis padded so the last chunk's
     # fixed-size DMA stays in bounds (pad id = beyond every tile => masked)
-    pad = jnp.full((CHUNK,), float(cpad + TILE), jnp.float32)
-    zpad = jnp.zeros((CHUNK,), jnp.float32)
     rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
             -negh_s,                      # h
-            v_s, inten_s, colf_s, hc_s,
-            is_start.astype(jnp.float32),
-            jnp.zeros((P,), jnp.float32)]
+            v_s,
+            is_start.astype(jnp.float32)]
+    if with_color:
+        rows += [inten_s, colf_s, hc_s, low2]
+    else:
+        rows += [jnp.zeros((P,), jnp.float32)] * 3 + [low2]
+    pad = jnp.full((CHUNK,), float(cpad + TILE), jnp.float32)
+    zpad = jnp.zeros((CHUNK,), jnp.float32)
     pts = jnp.concatenate(
         [jnp.concatenate([r, pad if i == 0 else zpad])
          for i, r in enumerate(rows)]).reshape(_ROWS, P + CHUNK)
@@ -286,7 +321,8 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
                        constant_values=fill).reshape(n_tiles, 1, TILE)
 
     elev0 = tiles(state.elevation, mcfg.invalid_elevation)
-    var0 = tiles(state.variance, mcfg.invalid_variance)
+    var0 = tiles(jnp.maximum(state.variance, mcfg.min_variance),
+                 mcfg.invalid_variance)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -310,6 +346,9 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     stats = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, _STATS, TILE), jnp.float32),
+        # the dense color branch's (CHUNK, TILE) temps exceed the default
+        # 16 MB scoped-vmem cap at larger CHUNK; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(starts, pts, elev0, var0)
 
@@ -318,7 +357,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     st_h, st_v, st_n = s[0], s[1], s[2]
     W, WH, st_out = s[4], s[5], s[6]
     oc_n, oc_v, oc_c, oc_i = s[7], s[8], s[9], s[10]
-    vc_in, col_in, int_in, low = s[12], s[13], s[14], s[15]
+    vc_in, col_in, int_in, low_sum = s[12], s[13], s[14], s[11]
 
     elev0f = state.elevation.reshape(-1)
     var0f = state.variance.reshape(-1)
@@ -360,6 +399,9 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     if with_lowest:
         # storage-indexed per-cell min(h + 3*var) -> geographic layout:
         # geo = (storage - start) mod L on both axes, i.e. one jnp.roll
+        # is_start fires exactly once per occupied cell, so low_sum is that
+        # cell's min(h + 3*var); unoccupied cells decode to +inf
+        low = jnp.where(any_candidate, low_sum, _INF)
         low_geo = jnp.roll(low.reshape(L, L),
                            shift=(-state.start[0], -state.start[1]),
                            axis=(0, 1))
