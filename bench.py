@@ -87,7 +87,7 @@ def main():
 
     # --- north-star row 1: Hz @ 1000x1000, realistic frame -----------------
     hz_row = run_worker({"name": "step_hz", "phase": "step",
-                         "fuse": backend, "length": length,
+                         "fuse": backend, "feature_backend": "pallas", "length": length,
                          "points": hz_points,
                          "k_lo": 4, "k_hi": 24, "trials": 3})
     step_ms = hz_row.get("per_program_ms")
@@ -99,7 +99,7 @@ def main():
 
     # --- north-star row 2: points/s, throughput frame ----------------------
     tp_row = run_worker({"name": "step_tp", "phase": "step",
-                         "fuse": backend, "length": length,
+                         "fuse": backend, "feature_backend": "pallas", "length": length,
                          "points": tp_points,
                          "k_lo": 2, "k_hi": 12, "trials": 3})
     points_per_sec = 0.0
@@ -114,7 +114,7 @@ def main():
     # --- scan replay: T frames per device program (offline corpora) --------
     if not args.no_scan:
         sc = run_worker({"name": "scan_tp", "phase": "scan",
-                         "fuse": backend, "length": length,
+                         "fuse": backend, "feature_backend": "pallas", "length": length,
                          "points": tp_points,
                          "n_frames": 4 if quick else 8})
         if sc.get("per_frame_ms"):

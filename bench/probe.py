@@ -445,6 +445,55 @@ def phase_raytrace(spec):
     return {"per_program_ms": ms * 1e3}
 
 
+def phase_fusekernel(spec):
+    """fuse_stream alone (sort + pack + pallas + posterior), K-chained
+    through the elevation plane.  A pallas_call's interior lowers the same
+    in isolation as inside the step (it is opaque to XLA fusion), so this
+    is a trustworthy fast probe for kernel-internal work — full-step
+    ablation differences remain the ground truth for XLA-glue phases."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from gem_tpu.kernels.fuse_stream import fuse_stream
+    from gem_tpu.kernels.pointproc import process_points
+    from gem_tpu.mapping.pipeline import step as _  # noqa: F401 (imports)
+    from gem_tpu.sensors.models import jacobian_ingredients
+
+    cfg, state, frames = _make_step_inputs(spec)
+    frame = frames[0]
+    sensor_jac, c_sb_t, p_bm_t, b_skew = jacobian_ingredients(
+        frame.r_map_base, frame.r_base_sensor, frame.t_base_sensor)
+
+    @jax.jit
+    def f(map_state):
+        batch, _ = process_points(
+            map_state, cfg, frame.points, frame.intensity, frame.valid,
+            frame.transform, frame.t_map_base[2], sensor_jac,
+            frame.pose_cov[3:, 3:], c_sb_t, p_bm_t, b_skew,
+            colors=frame.colors, compute_lowest=False)
+        out = fuse_stream(map_state, cfg, batch,
+                          with_lowest=spec.get("lowest", True),
+                          with_color=spec.get("color", True))
+        return out
+
+    ms0 = state.map
+
+    def run(K):
+        s = ms0
+        t0 = time.perf_counter()
+        for _ in range(K):
+            s = f(s)
+        _fetch(s.elevation[0, 0])
+        return time.perf_counter() - t0
+
+    ms, lo, hi = slope_time(run, k_lo=spec.get("k_lo", 2),
+                            k_hi=spec.get("k_hi", 12),
+                            trials=spec.get("trials", 3))
+    return {"per_program_ms": ms * 1e3, "t_lo_s": lo, "t_hi_s": hi}
+
+
 def _make_step_inputs(spec):
     import jax
 
@@ -461,6 +510,7 @@ def _make_step_inputs(spec):
         enable_submaps=spec.get("submaps", True),
         enable_lowest=spec.get("lowest", True),
         enable_color=spec.get("color", True),
+        raytrace_every=spec.get("raytrace_every", 1),
     )
     frames = []
     for frame, _, _ in synthetic_frames(cfg, spec.get("n_frames", 8),
@@ -540,6 +590,7 @@ PHASES = {
     "cumsum": phase_cumsum,
     "raytrace": phase_raytrace,
     "step": phase_step,
+    "fusekernel": phase_fusekernel,
     "scan": phase_scan,
 }
 

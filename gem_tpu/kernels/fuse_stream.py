@@ -141,24 +141,23 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             get_dma(1 - slot, j + 1).start()
         get_dma(slot, j).wait()
         p = buf[slot]                          # (8, CHUNK)
-        # row-oriented cell ids feed the (TILE, CHUNK) one-hot with no
-        # relayout; the payload transpose itself is small (MXU-lowered)
+        # ALL per-point math stays in (1, CHUNK) ROW space: a (CHUNK, 1)
+        # column op uses 1 of 128 lanes per vreg (measured ~2 us/chunk of
+        # pure waste); a row op uses full lanes.  The one-hots are the only
+        # (big) 2-D temps, and a `valid` mask is unnecessary — out-of-tile
+        # and pad cell ids simply never equal any iota lane/sublane.
         cl_row = p[0:1, :] - base              # (1, CHUNK)
-        valid_row = (cl_row >= 0.0) & (cl_row < float(TILE))
+        cl_i = cl_row.astype(jnp.int32)        # exact: cell ids < 2^24
         if "noprior" not in _ABLATE:
-            oh_tc = jnp.where((cl_row.astype(jnp.int32) == sub) & valid_row,
-                              1.0, 0.0)        # (TILE, CHUNK)
-        pT = jnp.transpose(p)                  # (CHUNK, 8)
-        cl = pT[:, 0:1] - base                 # (CHUNK, 1) local cell
-        h = pT[:, 1:2]
-        v = pT[:, 2:3]
-        isst = pT[:, 3:4]
-        valid = (cl >= 0.0) & (cl < float(TILE))
-        cl_i = cl.astype(jnp.int32)            # exact: cell ids < 2^24
-        onehot = jnp.where((cl_i == lane) & valid, 1.0, 0.0)  # (CHUNK, TILE)
+            oh_tc = jnp.where(cl_i == sub, 1.0, 0.0)          # (TILE, CHUNK)
+        onehot = jnp.where(jnp.transpose(cl_i) == lane, 1.0, 0.0)
+        h = p[1:2, :]
+        v = p[2:3, :]
+        isst = p[3:4, :]
 
         # --- pass B1: start-row sums (h_max, v_argmax, count) ---------------
-        b1 = jnp.concatenate([isst * h, isst * v, isst], axis=1)  # (C, 3)
+        b1 = jnp.transpose(
+            jnp.concatenate([isst * h, isst * v, isst], axis=0))  # (C, 3)
         if "nomm" in _ABLATE:
             s1 = jnp.broadcast_to(jnp.sum(b1, axis=0)[:, None], (3, TILE))
         else:
@@ -176,45 +175,45 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             sth = h
             stv = v
         else:
-            prior = jnp.transpose(jax.lax.dot_general(
+            prior = jax.lax.dot_general(
                 pri, oh_tc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))           # (CHUNK, 4)
-            e0_pt = prior[:, 0:1]
-            v0_pt = prior[:, 1:2]
-            sth = prior[:, 2:3]
-            stv = prior[:, 3:4]
+                preferred_element_type=jnp.float32)            # (4, CHUNK)
+            e0_pt = prior[0:1, :]
+            v0_pt = prior[1:2, :]
+            sth = prior[2:3, :]
+            stv = prior[3:4, :]
 
-        # --- gate (pure column math) ----------------------------------------
+        # --- gate (row math, full-lane) -------------------------------------
         empty = e0_pt == mcfg.invalid_elevation
         anchor_e = jnp.where(empty, sth, e0_pt)
         anchor_v = jnp.where(empty, jnp.maximum(stv, mcfg.min_variance),
                              v0_pt)
         band = mcfg.mahalanobis_threshold * jnp.sqrt(anchor_v)
-        inl = valid & (jnp.abs(h - anchor_e) <= band)
+        inl = jnp.abs(h - anchor_e) <= band
         inl_f = inl.astype(jnp.float32)
         w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
-        argout = isst * (valid & ~inl).astype(jnp.float32)  # <=1 row / cell
+        argout = isst * (~inl).astype(jnp.float32)     # <=1 row / cell
         z = jnp.zeros_like(h)
         # `low2` is (h + 3v) co-sorted by the SECOND sort (cell, low asc):
         # its is_start row holds the cell's min, and position i of both sort
         # orders belongs to the same cell (identical id sequences), so the
         # same one-hot scatters it — `lowest` costs one sum column instead
         # of a dense (CHUNK, TILE) masked-min sweep (~20% of kernel time).
-        low_c = isst * pT[:, 7:8] if with_lowest else z
+        low_c = isst * p[7:8, :] if with_lowest else z
 
         # --- pass B2: gated sums + start-row outlier payload + lowest -------
         if with_color:
-            inten = pT[:, 4:5]
-            colf = pT[:, 5:6]
-            hc = pT[:, 6:7]
+            inten = p[4:5, :]
+            colf = p[5:6, :]
+            hc = p[6:7, :]
             oc = argout * hc
-            b2 = jnp.concatenate(
+            b2 = jnp.transpose(jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout,
-                 oc, oc * v, oc * colf, oc * inten, low_c], axis=1)  # (C, 8)
+                 oc, oc * v, oc * colf, oc * inten, low_c], axis=0))  # (C, 8)
         else:
-            b2 = jnp.concatenate(
+            b2 = jnp.transpose(jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
-                axis=1)
+                axis=0))
         if "nomm" in _ABLATE:
             s2 = jnp.broadcast_to(jnp.sum(b2, axis=0)[:, None], (8, TILE))
         else:
@@ -228,16 +227,17 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             @pl.when(jnp.sum(hc) > 0.0)
             def _():
                 mo = onehot > 0.0
-                contrib = mo & (inl & (hc > 0.5))
-                v_b = jnp.broadcast_to(v, (CHUNK, TILE))
+                # Mosaic cannot transpose i1 vectors; go through f32
+                contrib = mo & (jnp.transpose(inl_f * hc) > 0.5)
+                v_b = jnp.broadcast_to(jnp.transpose(v), (CHUNK, TILE))
                 vc_chunk = jnp.min(jnp.where(contrib, v_b, _INF), axis=0)
                 tie = contrib & (v_b == vc_chunk[None, :])
                 col_chunk = jnp.min(jnp.where(
-                    tie, jnp.broadcast_to(colf, (CHUNK, TILE)), _INF),
-                    axis=0)
+                    tie, jnp.broadcast_to(jnp.transpose(colf),
+                                          (CHUNK, TILE)), _INF), axis=0)
                 int_chunk = jnp.min(jnp.where(
-                    tie, jnp.broadcast_to(inten, (CHUNK, TILE)), _INF),
-                    axis=0)
+                    tie, jnp.broadcast_to(jnp.transpose(inten),
+                                          (CHUNK, TILE)), _INF), axis=0)
                 vc_old = stats_ref[0, 12, :]
                 lt = vc_chunk < vc_old
                 eq = vc_chunk == vc_old

@@ -155,11 +155,17 @@ def _near_tables(L: int, R: int):
     gx = np.round(robot + np.cos(theta)[:, None] * ks[None, :]).astype(int)
     gy = np.round(robot + np.sin(theta)[:, None] * ks[None, :]).astype(int)
     inside = (gx >= 0) & (gx < L) & (gy >= 0) & (gy < L)
-    idx = (np.clip(gx, 0, L - 1) * L + np.clip(gy, 0, L - 1)).astype(np.int32)
 
-    # obstacle-side lookup: the geographic block of cells within D0
+    # obstacle-side lookup: the geographic block of cells within D0.  The
+    # sample gather below is rebased onto this block too (every sample at
+    # radius <= S0 <= D0 lies inside it): a ~(2*D0)^2-element gather
+    # operand instead of the full L^2 map
     lo = max(int(math.floor(robot - D0)), 0)
     hi = min(int(math.ceil(robot + D0)) + 1, L)
+    bw = hi - lo
+    bgx = np.clip(gx, lo, hi - 1) - lo
+    bgy = np.clip(gy, lo, hi - 1) - lo
+    idx = (bgx * bw + bgy).astype(np.int32)
     bx, by = np.meshgrid(np.arange(lo, hi), np.arange(lo, hi), indexing="ij")
     bdx = bx - robot
     bdy = by - robot
@@ -208,7 +214,8 @@ def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
 
     # --- near-field cone (resample formulation, static gathers) ------------
     R_n, S0, n_idx, n_in, (blo, bhi), bray, bk, bd = _near_tables(L, R)
-    low_n = low.reshape(-1)[jnp.asarray(n_idx).reshape(-1)].reshape(R_n, S0)
+    low_blk = low[blo:bhi, blo:bhi].reshape(-1)
+    low_n = low_blk[jnp.asarray(n_idx).reshape(-1)].reshape(R_n, S0)
     seen_n = jnp.asarray(n_in) & (low_n != cfg.lowest_reset) \
         & (low_n != cfg.lowest_init)
     ks = jnp.arange(1, S0 + 1, dtype=jnp.float32)
