@@ -103,17 +103,23 @@ def _compact_append(buf: PointBuffer, count, new: PointBuffer):
     v = new.valid
     pos = count + jnp.cumsum(v.astype(jnp.int32)) - 1
     tgt = jnp.where(v & (pos < C), pos, C + 1)     # OOB -> dropped
-    upd = lambda old, vals: old.at[tgt].set(vals, mode="drop",
-                                            unique_indices=True)
     appended = jnp.sum(v & (pos < C))
     dropped = jnp.sum(v) - appended
+    # ONE stacked scatter instead of eight per-field ones (XLA scatter cost
+    # scales with update rows; 8x 64k-row scatters measured ~2.7 ms/frame).
+    # All fields are exact in f32: packed rgb < 2^24, valid is 0/1.
+    newmat = jnp.stack(
+        [new.x, new.y, new.z, new.variance, new.intensity, new.traver,
+         new.color.astype(jnp.float32), jnp.ones_like(new.x)], axis=1)
+    bufmat = jnp.stack(
+        [buf.x, buf.y, buf.z, buf.variance, buf.intensity, buf.traver,
+         buf.color.astype(jnp.float32), buf.valid.astype(jnp.float32)],
+        axis=1)
+    m = bufmat.at[tgt].set(newmat, mode="drop", unique_indices=True)
     out = PointBuffer(
-        x=upd(buf.x, new.x), y=upd(buf.y, new.y), z=upd(buf.z, new.z),
-        variance=upd(buf.variance, new.variance),
-        intensity=upd(buf.intensity, new.intensity),
-        traver=upd(buf.traver, new.traver),
-        color=upd(buf.color, new.color),
-        valid=upd(buf.valid, jnp.ones_like(v)),
+        x=m[:, 0], y=m[:, 1], z=m[:, 2], variance=m[:, 3],
+        intensity=m[:, 4], traver=m[:, 5],
+        color=m[:, 6].astype(jnp.int32), valid=m[:, 7] > 0.5,
     )
     return out, count + appended, dropped
 
