@@ -86,11 +86,11 @@ def main():
         best = min(step_ms, key=step_ms.get)
         res["fastest_backend"] = best
         sys.path.insert(0, REPO)
-        from gem_tpu.mapping.calibrate import save_record
+        from gem_tpu.mapping.calibrate import _platform, save_record
 
         import jax
 
-        save_record(jax.default_backend(), best, step_ms)
+        save_record(_platform(), best, step_ms)
 
     if not args.no_ablate and step_ms:
         best = res["fastest_backend"]

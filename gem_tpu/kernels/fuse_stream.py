@@ -110,9 +110,11 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     base = (t * TILE).astype(jnp.float32)
     p_lo = starts_ref[t]
     p_hi = starts_ref[t + 1]
-    # chunk starts must be tiling-aligned for the VMEM slice DMA; round down
-    # and let the c_local >= 0 mask drop the leading previous-tile points
-    aligned = (p_lo // CHUNK) * CHUNK
+    # chunk starts must be lane-tile-aligned (128) for the VMEM slice DMA;
+    # round down and let the one-hot drop the leading previous-tile points.
+    # (Aligning to CHUNK instead wastes up to CHUNK-1 reprocessed points per
+    # tile — ~20% of all point visits at TILE=CHUNK.)
+    aligned = (p_lo // 128) * 128
     n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
 
     stats_ref[0, 0:12, :] = jnp.zeros((12, TILE), jnp.float32)
@@ -125,7 +127,7 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, CHUNK), 0)
 
     def get_dma(slot, j):
-        off = pl.multiple_of(aligned + j * CHUNK, CHUNK)
+        off = pl.multiple_of(aligned + j * CHUNK, 128)
         return pltpu.make_async_copy(
             pts_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
 

@@ -29,7 +29,10 @@ _STATIC_DEFAULT = {"tpu": "stream", "cpu": "segment", "gpu": "segment"}
 def _platform() -> str:
     import jax
 
-    return jax.default_backend()
+    p = jax.default_backend()
+    # this image's tunneled TPU registers as the experimental "axon"
+    # platform; treat any non-cpu/gpu accelerator as tpu
+    return "tpu" if p not in ("cpu", "gpu") else p
 
 
 def load_record(path: str = CALIB_PATH) -> dict:

@@ -315,9 +315,10 @@ class ElevationPipeline:
             fuse_backend = resolve_backend()
         if feature_backend == "auto":
             # same math either way (bit-exact, tests/test_features.py);
-            # the Pallas stencil needs a real TPU
-            feature_backend = ("pallas" if jax.default_backend() == "tpu"
-                               else "xla")
+            # the Pallas stencil needs a real TPU (which this image
+            # registers as the "axon" platform)
+            feature_backend = ("xla" if jax.default_backend()
+                               in ("cpu", "gpu") else "pallas")
         self.cfg = cfg
         self.fuse_backend = fuse_backend
         self.feature_backend = feature_backend
