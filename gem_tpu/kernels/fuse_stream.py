@@ -46,10 +46,11 @@ Key structural facts that make it fast (v5):
     (one scalar test) — colorless LiDAR streams pay nothing for the camera
     path while colored streams keep exact semantics.  `with_color=False`
     removes the machinery statically.
-6.  The `lowest` bound (min over points of h + 3*var per cell,
-    kernels/pointproc.py note) rides the same pass as one masked min; the
-    storage-indexed result is rolled to the geographic layout afterwards
-    (a bijection — one jnp.roll, not a second reduction).
+6.  The `lowest` bound (reference semantics: the min-height point's
+    h + 3*sigma, gpu_process.cu:434-438, deterministic max-v tie) lives on
+    the sorted order's segment-END rows and rides the scatter dot as one
+    sum column; the storage-indexed result is rolled to the geographic
+    layout afterwards (a bijection — one jnp.roll).
 
 Reference anchor: G_fuse (gpu_process.cu:477-537) is O(L^2 * N) with one
 thread per cell scanning every point; this is O(N log N) sort + O(N) stream.
@@ -100,8 +101,8 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
       8 oc_v   its variance
       9 oc_c   its packed color
      10 oc_i   its intensity
-     11 low    sum of is_start*low2 (= per-cell min h+3v via the second
-              sort; 0 if no point — decoded to +inf via st_n)
+     11 low    sum of is_end*(h+3v) (= the min-h/max-v-tie point's bound,
+              the reference atomicMin winner; decoded to +inf via st_n)
      12 vc     min v over inlier+colored      (+inf if none)
      13 colf   min packed color at the vc tie (+inf)
      14 inten  min intensity at the vc tie    (+inf)
@@ -196,12 +197,10 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
         argout = isst * (~inl).astype(jnp.float32)     # <=1 row / cell
         z = jnp.zeros_like(h)
-        # `low2` is (h + 3v) co-sorted by the SECOND sort (cell, low asc):
-        # its is_start row holds the cell's min, and position i of both sort
-        # orders belongs to the same cell (identical id sequences), so the
-        # same one-hot scatters it — `lowest` costs one sum column instead
-        # of a dense (CHUNK, TILE) masked-min sweep (~20% of kernel time).
-        low_c = isst * p[7:8, :] if with_lowest else z
+        # row 7 is the is_end indicator: the segment-end row is the cell's
+        # min-h / max-v-tie point (reference atomicMin winner), so `lowest`
+        # costs one exact sum column — no second sort, no dense min sweep
+        low_c = p[7:8, :] * (h + 3.0 * v) if with_lowest else z
 
         # --- pass B2: gated sums + start-row outlier payload + lowest -------
         if with_color:
@@ -284,29 +283,24 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
         ids_s, negh_s, v_s = jax.lax.sort(
             [ids, -batch.height, batch.variance], num_keys=3)
 
-    if with_lowest:
-        # second sort (cell, h+3v asc): its segment-start row is the cell's
-        # `lowest` bound, and because both sorts produce the identical cell
-        # id sequence, position i of low2 belongs to the same cell as
-        # position i of the main order — the kernel scatters it with the
-        # same one-hot as one extra sum column (no dense min sweep).
-        _, low2 = jax.lax.sort(
-            [ids, batch.height + 3.0 * batch.variance], num_keys=2)
-    else:
-        low2 = jnp.zeros((P,), jnp.float32)
-
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    neq = ids_s[1:] != ids_s[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    # the segment END row of the (cell, -h, v) order is the cell's min-h
+    # point with the max-v tie — the reference's atomicMin winner
+    # (gpu_process.cu:434-438, deterministic resolution); its h + 3v is the
+    # `lowest` bound and rides the scatter dot as one exact sum column
+    is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
     # one concatenate -> (8, Ppad): point axis padded so the last chunk's
     # fixed-size DMA stays in bounds (pad id = beyond every tile => masked)
     rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
             -negh_s,                      # h
             v_s,
             is_start.astype(jnp.float32)]
+    zrow = jnp.zeros((P,), jnp.float32)
     if with_color:
-        rows += [inten_s, colf_s, hc_s, low2]
+        rows += [inten_s, colf_s, hc_s, is_end.astype(jnp.float32)]
     else:
-        rows += [jnp.zeros((P,), jnp.float32)] * 3 + [low2]
+        rows += [zrow, zrow, zrow, is_end.astype(jnp.float32)]
     pad = jnp.full((CHUNK,), float(cpad + TILE), jnp.float32)
     zpad = jnp.zeros((CHUNK,), jnp.float32)
     pts = jnp.concatenate(
@@ -401,8 +395,8 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     if with_lowest:
         # storage-indexed per-cell min(h + 3*var) -> geographic layout:
         # geo = (storage - start) mod L on both axes, i.e. one jnp.roll
-        # is_start fires exactly once per occupied cell, so low_sum is that
-        # cell's min(h + 3*var); unoccupied cells decode to +inf
+        # is_end fires exactly once per occupied cell, so low_sum is that
+        # cell's winner bound; unoccupied cells decode to +inf
         low = jnp.where(any_candidate, low_sum, _INF)
         low_geo = jnp.roll(low.reshape(L, L),
                            shift=(-state.start[0], -state.start[1]),

@@ -168,18 +168,22 @@ def process_points(
     cell = jnp.where(valid, sx * L + sy, L * L)
     geo_cell = jnp.where(valid, gx * L + gy, L * L)
 
-    # lowest-scan bound: min over the cell's points of (height + 3*var) —
-    # ONE segment-min.  The reference's atomicMin races "min height, then
-    # +3*sigma if I won" (gpu_process.cu:434-438), whose winner is arbitrary
-    # under ties/races; round 1 used the deterministic min-height argmin's
-    # variance (argmin reduction + payload gathers, ~4 scatter/gather passes).
-    # min(h + 3v) is an equally valid deterministic resolution of the racy
-    # spec — it picks the point with the lowest *pessimistic* bound, which is
-    # exactly what the raytrace consumer wants — and costs a single
-    # reduction (PARITY.md "lowest bound").
+    # lowest-scan bound, REFERENCE semantics (gpu_process.cu:434-438):
+    # atomicMin on height, and the winning point contributes 3*sigma of ITS
+    # OWN variance.  The race's winner is arbitrary under exact-height
+    # ties; we resolve deterministically as (min h, then max v) — the
+    # pessimistic tie — identically in both fuse backends (the stream
+    # kernel reads the same winner off its sorted segment-END rows for
+    # free; see kernels/fuse_stream.py).  PARITY.md "lowest bound".
     if cfg.enable_lowest and compute_lowest:
-        bound = jnp.where(valid, height + 3.0 * var, jnp.inf)
-        candidate = scatter.segment_reduce(bound, geo_cell, L * L, "min",
+        h_s = jnp.where(valid, height, jnp.inf)
+        ids_l, h_l, negv_l = jax.lax.sort(
+            [geo_cell.astype(jnp.int32), h_s,
+             -jnp.where(valid, var, 0.0)], num_keys=3)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), ids_l[1:] != ids_l[:-1]])
+        bound = jnp.where(is_start, h_l - 3.0 * negv_l, jnp.inf)
+        candidate = scatter.segment_reduce(bound, ids_l, L * L, "min",
                                            jnp.inf)
         lowest = jnp.minimum(state.lowest.reshape(-1),
                              candidate).reshape(L, L)

@@ -114,19 +114,24 @@ def test_stream_lowest_matches_pointproc_reduction():
     out = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
                                            interpret=True))(st, batch)
 
-    # oracle: geographic-keyed segment-min (what pointproc computes)
+    # oracle: the reference atomicMin winner per geographic cell — the
+    # min-height point (max-variance tie) contributes h + 3*sigma of its
+    # own variance (gpu_process.cu:434-438, deterministic resolution)
     cell = np.asarray(batch.cell)
     valid = np.asarray(batch.valid) & (cell < L * L)
     sx, sy = cell // L, cell % L
     gx = (sx - start[0]) % L
     gy = (sy - start[1]) % L
     geo = np.where(valid, gx * L + gy, L * L)
-    bound = np.where(valid,
-                     np.asarray(batch.height) + 3.0 *
-                     np.asarray(batch.variance), np.inf)
-    want = scatter.segment_reduce(jnp.asarray(bound), jnp.asarray(geo),
-                                  L * L, "min", jnp.inf)
-    want = jnp.minimum(st.lowest.reshape(-1), want).reshape(L, L)
+    h = np.asarray(batch.height)
+    var = np.asarray(batch.variance)
+    want = np.full(L * L, np.inf, np.float32)
+    for c in np.unique(geo[valid]):
+        m = valid & (geo == c)
+        hmin = h[m].min()
+        vwin = var[m & (h == hmin)].max()
+        want[c] = hmin + 3.0 * vwin
+    want = jnp.minimum(st.lowest.reshape(-1), jnp.asarray(want)).reshape(L, L)
     np.testing.assert_allclose(np.asarray(out.lowest), np.asarray(want),
                                atol=1e-6)
 
