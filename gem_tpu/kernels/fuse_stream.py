@@ -81,6 +81,9 @@ _STATS = 16          # aggregate rows per cell (see _kernel docstring)
 _INF = float("inf")
 # timing-ablation knobs (results become WRONG; timing stays shape-faithful)
 _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
+# pass-A one-hot source: "build" = second iota-compare (default),
+# "transpose" = MXU/vector transpose of the pass-B one-hot
+_OHT = _os.environ.get("GEM_FUSE_OHT", "build")
 
 
 def _cdiv(a, b):
@@ -151,9 +154,12 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         # and pad cell ids simply never equal any iota lane/sublane.
         cl_row = p[0:1, :] - base              # (1, CHUNK)
         cl_i = cl_row.astype(jnp.int32)        # exact: cell ids < 2^24
-        if "noprior" not in _ABLATE:
-            oh_tc = jnp.where(cl_i == sub, 1.0, 0.0)          # (TILE, CHUNK)
         onehot = jnp.where(jnp.transpose(cl_i) == lane, 1.0, 0.0)
+        if "noprior" not in _ABLATE:
+            if _OHT == "transpose":
+                oh_tc = jnp.transpose(onehot)  # (TILE, CHUNK)
+            else:
+                oh_tc = jnp.where(cl_i == sub, 1.0, 0.0)
         h = p[1:2, :]
         v = p[2:3, :]
         isst = p[3:4, :]
