@@ -125,20 +125,22 @@ def main():
         detail["points_per_sec_step"] = points_per_sec
     else:
         detail["tp_row_error"] = tp_row.get("error")
-    # throughput at reference raytrace cadence + big frames (4M points):
-    # large N amortises the per-frame fixed work, which is the honest way
-    # to measure a POINTS/S figure (the Hz row covers per-frame latency)
+    # throughput at reference raytrace cadence + big frames (4M points),
+    # LiDAR-only (enable_color=False — the reference's camera-less YQ demo
+    # configuration): large N amortises the per-frame fixed work, which is
+    # the honest way to measure a POINTS/S figure (the Hz row covers
+    # per-frame latency)
     big_points = tp_points * 4
     tp_row2 = run_worker({"name": "step_tp_big", "phase": "step",
                           "fuse": backend, "feature_backend": "pallas",
                           "length": length, "points": big_points,
-                          "raytrace_every": 10,
+                          "raytrace_every": 10, "color": False,
                           "k_lo": 2, "k_hi": 8, "trials": 3})
     if tp_row2.get("per_program_ms"):
         pps2 = big_points / (tp_row2["per_program_ms"] * 1e-3)
-        detail["step_ms_at_%dM_pts_ref_cadence" % (big_points // (1 << 20))] \
-            = tp_row2["per_program_ms"]
-        detail["points_per_sec_big_ref_cadence"] = pps2
+        detail["step_ms_at_%dM_pts_ref_cadence_lidar" %
+               (big_points // (1 << 20))] = tp_row2["per_program_ms"]
+        detail["points_per_sec_big_ref_cadence_lidar"] = pps2
         points_per_sec = max(points_per_sec, pps2)
 
     # --- scan replay: T frames per device program (offline corpora) --------

@@ -74,8 +74,17 @@ _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
 # Tile/chunk geometry.  Sweep/one-hot work scales with N_points * TILE;
 # fixed work scales with ncell/TILE grid steps + N/CHUNK chunk iterations.
 TILE = int(_os.environ.get("GEM_FUSE_TILE", 1024))
-CHUNK = int(_os.environ.get("GEM_FUSE_CHUNK", 512))
-assert TILE % 128 == 0 and CHUNK % 128 == 0
+# default CHUNK: 512 for typical frames; >=2M-point frames amortise the
+# per-chunk loop/DMA overhead better at 1024 (chunk count dominates there).
+# GEM_FUSE_CHUNK forces a fixed value.
+_CHUNK_ENV = int(_os.environ.get("GEM_FUSE_CHUNK", 0))
+assert TILE % 128 == 0 and _CHUNK_ENV % 128 == 0
+
+
+def _pick_chunk(n_points: int) -> int:
+    if _CHUNK_ENV:
+        return _CHUNK_ENV
+    return 1024 if n_points >= (1 << 21) else 512
 _ROWS = 8            # packed point-matrix rows (both color modes)
 _STATS = 16          # aggregate rows per cell (see _kernel docstring)
 _INF = float("inf")
@@ -91,7 +100,7 @@ def _cdiv(a, b):
 
 
 def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
-            buf, sem, *, mcfg, with_lowest, with_color):
+            buf, sem, *, mcfg, CHUNK, with_lowest, with_color):
     """Aggregate rows written to stats_ref (1, 16, TILE):
 
       0 st_h   sum of is_start*h        (= h_max)
@@ -274,6 +283,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     n_tiles = _cdiv(ncell, TILE)
     cpad = n_tiles * TILE
     P = batch.cell.shape[0]
+    CHUNK = _pick_chunk(P)
 
     # --- one 3-key sort: (cell, -h, v) + payloads ---------------------------
     ids = jnp.where(batch.valid, batch.cell, ncell).astype(jnp.int32)
@@ -343,8 +353,8 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kern = functools.partial(_kernel, mcfg=mcfg, with_lowest=with_lowest,
-                             with_color=with_color)
+    kern = functools.partial(_kernel, mcfg=mcfg, CHUNK=CHUNK,
+                             with_lowest=with_lowest, with_color=with_color)
     stats = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, _STATS, TILE), jnp.float32),
