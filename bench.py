@@ -69,7 +69,7 @@ def main():
     backend = args.fuse_backend
     if backend == "auto":
         from gem_tpu.mapping.calibrate import resolve_backend
-        backend = resolve_backend()
+        backend = resolve_backend("tpu")  # bench always runs on the TPU host; avoid initializing a jax client in the parent (workers own the device)
     detail = {"method": "K-program slope timing with value fetch "
                         "(bench/probe.py), one program per process",
               "fuse_backend": backend}
