@@ -596,6 +596,15 @@ PHASES = {
 
 
 def worker(spec):
+    # Persistent compilation cache (set BEFORE jax import): step programs
+    # cost 100-1000 s to compile through the relay; the cache makes repeat
+    # bench runs skip them entirely (round-2 postmortem — bench.py must fit
+    # a ~8 min wall budget).  Cache keys include platform/topology, so
+    # sharing one dir with the tests' CPU cache is safe.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/gem_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     if spec.get("cpu"):
         import jax
 
