@@ -86,11 +86,15 @@ def main():
         best = min(step_ms, key=step_ms.get)
         res["fastest_backend"] = best
         sys.path.insert(0, REPO)
-        from gem_tpu.mapping.calibrate import _platform, save_record
+        from gem_tpu.mapping.calibrate import save_record
 
-        import jax
-
-        save_record(_platform(), best, step_ms)
+        # The parent must NEVER initialize a jax client (CLAUDE.md: an idle
+        # client attached to the axon relay perturbs the workers' timings;
+        # round-2 advisor finding).  This harness always runs on the TPU
+        # host — the platform is "tpu" by construction, same as bench.py.
+        save_record("tpu", best, step_ms,
+                    context={"length": args.length, "points": args.points,
+                             "harness": "bench/kernels.py"})
 
     if not args.no_ablate and step_ms:
         best = res["fastest_backend"]

@@ -472,8 +472,13 @@ def cmd_selftest(args):
     )
     frames = [f for f, _, _ in synthetic_frames(cfg, 6, n_points=4096,
                                                 speed=0.4, seed=0)]
+    from gem_tpu.mapping.calibrate import resolve_backend
+
     dev = jax.devices()[0]
-    backend = "pallas" if dev.platform == "tpu" else "segment"
+    # validate the PRODUCTION backend — the one `auto` ships — not a
+    # hardcoded stand-in (round-2 verdict weak #3)
+    backend = (resolve_backend("tpu") if dev.platform != "cpu"
+               else "segment")
     f_dev = jax.jit(functools.partial(step, cfg=cfg, fuse_backend=backend))
     s = jax.device_put(init_pipeline_state(cfg), dev)
     for fr in frames:

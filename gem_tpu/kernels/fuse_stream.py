@@ -396,6 +396,10 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
                               variance=new_var.reshape(L, L))
 
     if with_color:
+        # Overwrite path consults only the sorted (max-h, min-v) segment
+        # start row: on an exact f32 height tie among outliers with mixed
+        # color presence the `segment` backend would take the colored tie
+        # instead — documented deviation, see PARITY.md "G_fuse color".
         v_c = jnp.where(overwrite, jnp.where(oc_n > 0.0, oc_v, jnp.inf),
                         vc_in)
         best_color = jnp.where(overwrite, oc_c, col_in)

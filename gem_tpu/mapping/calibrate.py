@@ -44,13 +44,18 @@ def load_record(path: str = CALIB_PATH) -> dict:
 
 
 def save_record(platform: str, backend: str, step_ms: dict,
-                path: str = CALIB_PATH) -> None:
+                path: str = CALIB_PATH, context: dict | None = None) -> None:
+    """Write the auto-select record.  `context` stamps the measurement's
+    operating point + harness so staleness is detectable (round-2 verdict
+    weak #4: a hand-curated record drifted from BENCH_DETAIL)."""
     import datetime
 
     rec = load_record(path)
     rec[platform] = {"backend": backend, "step_ms": step_ms,
                      "recorded": datetime.datetime.now().isoformat(
                          timespec="seconds")}
+    if context:
+        rec[platform]["context"] = context
     with open(path, "w") as f:
         json.dump(rec, f, indent=2)
 

@@ -115,8 +115,9 @@ def test_stream_lowest_matches_pointproc_reduction():
                                            interpret=True))(st, batch)
 
     # oracle: the reference atomicMin winner per geographic cell — the
-    # min-height point (max-variance tie) contributes h + 3*sigma of its
-    # own variance (gpu_process.cu:434-438, deterministic resolution)
+    # min-height point (max-variance tie) contributes h + 3*variance (the
+    # reference's heightVariance is a VARIANCE despite the sigma-sounding
+    # name; gpu_process.cu:434-438, deterministic resolution)
     cell = np.asarray(batch.cell)
     valid = np.asarray(batch.valid) & (cell < L * L)
     sx, sy = cell // L, cell % L
