@@ -281,9 +281,21 @@ def cmd_run(args):
                 out[f"{name}_l{i}_color"] = np.asarray(g.color)
                 out[f"{name}_l{i}_res"] = np.float32(g.resolution)
         out["origin"] = np.asarray(origin, np.float32)
-        np.savez_compressed(args.save_octomap, **out)
         n_road = int(np.asarray(road[0].occupancy).sum())
         n_obs = int(np.asarray(obs[0].occupancy).sum())
+        if args.save_octomap.endswith(".bt"):
+            # octomap binary wire format: two trees like the reference's
+            # road/obstacle octomap msgs (src/ElevationMapping.cpp:502-512)
+            from gem_tpu.global_map.octomap_io import write_voxelgrid_bt
+
+            stem = args.save_octomap[:-3]
+            for name, g in (("road", road[0]), ("obstacle", obs[0])):
+                p = f"{stem}_{name}.bt"
+                nn = write_voxelgrid_bt(p, np.asarray(g.occupancy),
+                                        g.origin, g.resolution)
+                print(f"octomap {name} ({nn} nodes) -> {p}")
+        else:
+            np.savez_compressed(args.save_octomap, **out)
         print(f"voxel pyramid (road {n_road} / obstacle {n_obs} voxels) -> "
               f"{args.save_octomap}")
 
@@ -561,8 +573,9 @@ def main(argv=None):
     rp.add_argument("--save-ortho", help="write orthomosaic PNG")
     rp.add_argument("--save-heatmap", help="write elevation heatmap PNG")
     rp.add_argument("--save-octomap",
-                    help="write road/obstacle voxel pyramid npz (the "
-                         "octomap export)")
+                    help="write the octomap export: road/obstacle voxel "
+                         "pyramid npz, or — with a .bt extension — binary "
+                         "octomap files any octomap consumer can read")
     rp.add_argument("--publish-submaps",
                     help="write SubMapRecord npz files to dir (the dislam "
                          "SubMap publication)")
