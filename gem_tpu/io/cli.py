@@ -362,12 +362,39 @@ def cmd_fleet(args):
                                           make_mesh, shard_fleet,
                                           sharded_fleet_step)
 
+    dist = None
+    if args.coordinator:
+        # multi-host fleet: every host runs this same command with its own
+        # --process-id; robots are split evenly across processes
+        # (multirobot/distributed.py; reference analogue: one namespaced
+        # ROS node per robot, elevation_mapping_node.cpp:39-44)
+        from gem_tpu.multirobot import distributed as dist
+
+        dist.initialize(args.coordinator, args.num_processes,
+                        args.process_id)
+        print(f"process {args.process_id}/{args.num_processes}: "
+              f"{len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
+
     cfg = _build_config(args)
     R = args.robots
-    gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
-            for r in range(R)]
-    state = make_fleet_state(cfg, R)
-    if args.mesh:
+    if dist is not None:
+        assert R % args.num_processes == 0, \
+            "--robots must divide evenly across --num-processes"
+        r_local = R // args.num_processes
+        r0 = args.process_id * r_local
+        gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
+                for r in range(r0, r0 + r_local)]
+        mesh = dist.global_mesh()
+        state = dist.distribute_fleet(make_fleet_state(cfg, r_local), mesh)
+        step_fn = sharded_fleet_step(cfg, mesh)
+    else:
+        gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
+                for r in range(R)]
+        state = make_fleet_state(cfg, R)
+    if dist is not None:
+        pass
+    elif args.mesh:
         mesh = make_mesh(min(len(jax.devices()), R))
         state = shard_fleet(state, mesh)
         step_fn = sharded_fleet_step(cfg, mesh)
@@ -382,18 +409,27 @@ def cmd_fleet(args):
     for frames in zip(*gens):
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                *[f for f, _, _ in frames])
-        if args.mesh:
+        if dist is not None:
+            stacked = dist.distribute_fleet(stacked, mesh)
+        elif args.mesh:
             stacked = shard_fleet(stacked, mesh)
         state, outs = step_fn(state, stacked)
         n += 1
     jax.block_until_ready(state)
     dt = time.time() - t0
-    pv = np.asarray(outs.metrics["points_valid"]) if outs else []
-    fused = np.asarray((state.map.elevation != cfg.map.invalid_elevation)
-                       .sum(axis=(-2, -1)))
+    if dist is not None:
+        pv = dist.local_values(outs.metrics["points_valid"]) if outs else []
+        fused = dist.local_values(
+            (state.map.elevation != cfg.map.invalid_elevation)
+            .sum(axis=(-2, -1)))
+    else:
+        pv = np.asarray(outs.metrics["points_valid"]) if outs else []
+        fused = np.asarray((state.map.elevation != cfg.map.invalid_elevation)
+                           .sum(axis=(-2, -1)))
+    mode = ("distributed" if dist is not None
+            else "mesh" if args.mesh else "vmap")
     print(f"fleet of {R} robots: {n} frames in {dt:.2f}s "
-          f"({n / max(dt, 1e-9):.1f} fleet-Hz, "
-          f"{'mesh' if args.mesh else 'vmap'})")
+          f"({n / max(dt, 1e-9):.1f} fleet-Hz, {mode})")
     print(f"per-robot fused cells: {fused.tolist()}")
     print(f"per-robot last-frame valid points: "
           f"{np.asarray(pv).tolist()}")
@@ -603,6 +639,12 @@ def main(argv=None):
     fp.add_argument("--speed", type=float, default=0.5)
     fp.add_argument("--mesh", action="store_true",
                     help="shard robots over all visible devices")
+    fp.add_argument("--coordinator",
+                    help="host:port of process 0 — join a multi-host fleet "
+                         "via jax.distributed (run the same command on "
+                         "every host with its own --process-id)")
+    fp.add_argument("--num-processes", type=int, default=1)
+    fp.add_argument("--process-id", type=int, default=0)
     fp.set_defaults(fn=cmd_fleet)
 
     bp = sub.add_parser("bench", help="run the benchmark (see bench.py)")

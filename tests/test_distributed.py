@@ -1,0 +1,45 @@
+"""Multi-host fleet: 2-process CPU-backend collective test.
+
+SURVEY.md §5 names jax.distributed multi-host bring-up as the reference's
+ROS-networking analogue (elevation_mapping_node.cpp:39-44); this spawns two
+real OS processes that join one coordination service, shard the fleet's
+robot axis over the 4-device global mesh, run the SPMD fleet step, and
+push a ppermute ring payload across the process boundary (Gloo)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "_distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_fleet_collectives():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # workers set their own device count
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {i} rc={rc}\nstdout:{out}\nstderr:{err[-3000:]}"
+        assert f"DIST_OK p{i}" in out, (out, err[-3000:])
