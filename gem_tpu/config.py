@@ -170,6 +170,12 @@ class SubmapConfig:
     # be 192 MB).
     store_ortho: bool = True
     keyframe_scan_points: int = 4096
+    # Loop-closure re-fusion work bound: each submap re-fuses with at most
+    # its M nearest overlapping neighbours (the reference's kd radius query
+    # is unbounded, src/ElevationMapping.cpp:834 — O(K^2) pairs in dense
+    # rings).  Independent pairs are batched into vertex-disjoint rounds,
+    # so the device-serial chain length is O(M), not O(K^2).
+    max_pairs_per_submap: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

