@@ -33,12 +33,23 @@ BOXES = (  # (xmin, xmax, ymin, ymax, top_z_above_ground)
 )
 
 
-def in_box_footprint(x, y, margin=0.5):
+def in_box_footprint(x, y, margin=0.5, boxes=BOXES):
     hit = np.zeros(np.shape(x), bool)
-    for (x0, x1, y0, y1, _h) in BOXES:
+    for (x0, x1, y0, y1, _h) in boxes:
         hit |= ((x >= x0 - margin) & (x <= x1 + margin)
                 & (y >= y0 - margin) & (y <= y1 + margin))
     return hit
+
+
+def moving_box(frame_i: int, n_frames: int):
+    """A 1.5x1.5 m, 1.6 m tall object crossing the road at x~10: present in
+    the first half of the drive, gone in the second half — stale high cells
+    it leaves behind are exactly what G_Raytracing's visibility cleanup
+    deletes (gpu_process.cu:885-886)."""
+    if frame_i >= n_frames // 2:
+        return None
+    y0 = 2.0 - 1.5 * frame_i          # crossing from +2 toward -inf
+    return (9.5, 11.0, y0 - 0.75, y0 + 0.75, 1.6)
 
 
 def _ray_ground(origin, dirs, t_max=60.0, step=0.25):
@@ -61,10 +72,10 @@ def _ray_ground(origin, dirs, t_max=60.0, step=0.25):
     return np.where(any_hit, 0.5 * (t_lo + t_hi), np.inf)
 
 
-def _ray_boxes(origin, dirs):
+def _ray_boxes(origin, dirs, boxes=BOXES):
     """Nearest axis-aligned box intersection per ray (slab test)."""
     best = np.full(dirs.shape[0], np.inf, np.float32)
-    for (x0, x1, y0, y1, h) in BOXES:
+    for (x0, x1, y0, y1, h) in boxes:
         zg = ground_height(0.5 * (x0 + x1), 0.5 * (y0 + y1))
         lo = np.asarray([x0, y0, zg - 1.0], np.float32)
         hi = np.asarray([x1, y1, zg + h], np.float32)
@@ -78,7 +89,7 @@ def _ray_boxes(origin, dirs):
     return best
 
 
-def simulate_scan(T_wv, n_beams=16, n_azimuth=512, rng=None):
+def simulate_scan(T_wv, n_beams=16, n_azimuth=512, rng=None, boxes=BOXES):
     """Velodyne-frame (N, 3) points + intensities for sensor pose T_wv."""
     elev = np.deg2rad(np.linspace(-24.8, 2.0, n_beams)).astype(np.float32)
     azim = np.linspace(-math.pi, math.pi, n_azimuth,
@@ -89,7 +100,7 @@ def simulate_scan(T_wv, n_beams=16, n_azimuth=512, rng=None):
     R, t = T_wv[:3, :3], T_wv[:3, 3]
     d_world = d_sensor @ R.T
     rg = _ray_ground(t.astype(np.float32), d_world.astype(np.float32))
-    rb = _ray_boxes(t.astype(np.float32), d_world.astype(np.float32))
+    rb = _ray_boxes(t.astype(np.float32), d_world.astype(np.float32), boxes)
     rng_ = np.minimum(rg, rb)
     ok = np.isfinite(rng_) & (rng_ < 60.0)
     noise = (rng.normal(0, 0.004, ok.sum()) if rng is not None else 0.0)
@@ -100,11 +111,23 @@ def simulate_scan(T_wv, n_beams=16, n_azimuth=512, rng=None):
 
 def write_fixture_drive(drive_dir: str, n_frames: int = 6, seed: int = 0,
                         with_images: bool = True,
-                        n_beams: int = 16, n_azimuth: int = 512):
+                        n_beams: int = 16, n_azimuth: int = 512,
+                        odom_drift: float = 0.0,
+                        with_moving_object: bool = False):
     """Write a KITTI-raw-layout drive; returns the calib file path.
 
     Trajectory: forward along +x at 1.2 m/frame with gentle yaw wobble,
     sensor 1.73 m above ground (HDL-64 mount height).
+
+    Hardening knobs (round-2 verdict item 6 — no real scans exist in this
+    zero-egress image, see tests/test_kitti_drive.py module docstring):
+      * odom_drift: dead-reckoning heading error in rad/frame — scans are
+        simulated from the TRUE pose but the oxts rows integrate each
+        frame-to-frame delta under an accumulating yaw error, like drifting
+        odometry before a loop closure.
+      * with_moving_object: adds the `moving_box` crossing object (present
+        only in the first half of the drive) so replay exercises
+        dynamic-obstacle deletion via the ray-trace cleanup.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(drive_dir, "velodyne_points", "data"),
@@ -119,6 +142,8 @@ def write_fixture_drive(drive_dir: str, n_frames: int = 6, seed: int = 0,
         math.tan((90.0 + LAT0) * math.pi / 360.0))
 
     H, W, f = 96, 160, 80.0
+    prev_true = None                # (x, y, yaw) of previous TRUE pose
+    rep_x, rep_y, rep_yaw = 0.0, 0.0, 0.0   # dead-reckoned reported pose
     for i in range(n_frames):
         x = 1.2 * i
         yaw = 0.06 * math.sin(0.5 * i)
@@ -129,18 +154,41 @@ def write_fixture_drive(drive_dir: str, n_frames: int = 6, seed: int = 0,
         T[:3, :3] = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         T[:3, 3] = (x, y, z)
 
-        pts, inten = simulate_scan(T, n_beams, n_azimuth, rng)
+        boxes = list(BOXES)
+        if with_moving_object:
+            mb = moving_box(i, n_frames)
+            if mb is not None:
+                boxes.append(mb)
+        pts, inten = simulate_scan(T, n_beams, n_azimuth, rng, tuple(boxes))
         raw = np.concatenate([pts, (inten / 100.0)[:, None]],
                              axis=1).astype(np.float32)
         raw.tofile(os.path.join(drive_dir, "velodyne_points", "data",
                                 f"{i:010d}.bin"))
 
+        # reported pose: integrate true body-frame deltas under an
+        # accumulating heading error (dead-reckoning drift)
+        if prev_true is None:
+            rep_x, rep_y, rep_yaw = x, y, yaw
+        else:
+            px, py, pyaw = prev_true
+            dx, dy = x - px, y - py
+            # body-frame delta under the previous TRUE heading
+            bx = math.cos(-pyaw) * dx - math.sin(-pyaw) * dy
+            by = math.sin(-pyaw) * dx + math.cos(-pyaw) * dy
+            # replay it under the drifted heading
+            rep_x += math.cos(rep_yaw) * bx - math.sin(rep_yaw) * by
+            rep_y += math.sin(rep_yaw) * bx + math.cos(rep_yaw) * by
+            rep_yaw += (yaw - pyaw) + odom_drift
+        prev_true = (x, y, yaw)
+        ox, oy, oyaw = ((rep_x, rep_y, rep_yaw) if odom_drift
+                        else (x, y, yaw))
+
         # invert the converter's mercator projection: tx <- x, ty <- ty0 + y
-        lon = x * 180.0 / (math.pi * EARTH_RADIUS * scale)
+        lon = ox * 180.0 / (math.pi * EARTH_RADIUS * scale)
         lat = 360.0 / math.pi * math.atan(
-            math.exp((ty0 + y) / (scale * EARTH_RADIUS))) - 90.0
+            math.exp((ty0 + oy) / (scale * EARTH_RADIUS))) - 90.0
         row = np.zeros(30)
-        row[:6] = (lat, lon, z, 0.0, 0.0, yaw)
+        row[:6] = (lat, lon, z, 0.0, 0.0, oyaw)
         np.savetxt(os.path.join(drive_dir, "oxts", "data",
                                 f"{i:010d}.txt"), row[None], fmt="%.12f")
 
