@@ -124,6 +124,14 @@ class MapConfig:
     raytrace_num_rays: int = 0
     raytrace_num_steps: int = 0
     raytrace_group: int = 0     # 0 => max(2, length // 250)
+    # Far-field constraint pooling (kernels/raytrace.py): p > 1 min-pools
+    # the per-cell constraint field g p x p BEFORE the ray partition, so
+    # the two slot sorts shrink p^2 while every constraint VALUE stays
+    # exact (min-pool commutes with the suffix min); only the "strictly
+    # farther" exclusion coarsens to ~p*group cells — conservative, same
+    # class as the group-granule deviation (PARITY.md).  0 => auto: 2 for
+    # length >= 512, else 1 (small maps keep the exact granularity).
+    raytrace_far_pool: int = 0
 
     # rolling-buffer shift cap per frame (cells).  Shifts beyond this fall back
     # to a full-map clear, like indexShift >= length in Move (gpu_process.cu:1033).

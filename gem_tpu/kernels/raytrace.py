@@ -40,6 +40,13 @@ Deviations from the reference walk (PARITY.md):
     misses a cell;
   * "strictly farther" is granular at G cells along the ray (the nearest
     G-1 ray-mates never delete an obstacle — conservative);
+  * with far-pool p > 1 (default 2 at length >= 512) the constraint field
+    is min-pooled p x p before the partition: constraint VALUES stay exact
+    (min commutes with the suffix min) and the two slot sorts shrink p^2
+    — the raytrace's dominant cost at 1000^2; the exclusion coarsens to
+    ~p*G cells (conservative) and the azimuthal corridor widens to
+    ~+-p/2 cells, comparable to the DDA's own +-0.5..1-cell rounding
+    (measured at 128^2: 95%+ deletion agreement, <=0.2% extra);
   * unseen cells (10 reset / 100 init sentinels) do not constrain; the
     reference's P_isVaild treats 100 as valid (gpu_process.cu:682-690) —
     intended behavior implemented here excludes both.
@@ -177,29 +184,20 @@ def _near_tables(L: int, R: int):
             bray.astype(np.int32), bk.astype(np.int32), bd)
 
 
-def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
-    """Returns state with occluding stale obstacles deleted and the lowest
-    plane reset (Raytracing host wrapper, gpu_process.cu:1304-1318)."""
-    L = cfg.length
-    R = cfg.num_rays()
-    G = cfg.raytrace_group if cfg.raytrace_group > 0 else max(2, L // 250)
-    d_np, key1_np, key2_np, cap, nslots = _tables(L, R, G)
-    d = jnp.asarray(d_np)
+def _far_min_g(g, L: int, R: int, G: int):
+    """Slot-space far-field pipeline on an (L, L) geographic constraint
+    field: to ray-major slots (static-key sort), per-group min + exclusive
+    suffix over strictly-farther groups, back to cell order (static-key
+    sort).  Returns the (L, L) per-cell min-g-beyond field."""
+    _, key1_np, key2_np, cap, nslots = _tables(L, R, G)
     key1 = jnp.asarray(key1_np)
     key2 = jnp.asarray(key2_np)
     inf = jnp.float32(jnp.inf)
 
-    # --- constraint field g per geographic cell -----------------------------
-    low = state.lowest
-    seen = (low != cfg.lowest_reset) & (low != cfg.lowest_init) & (d > 0.0)
-    g = jnp.where(seen, (low - state.sensor_z) / jnp.maximum(d, 1e-6), inf)
-
-    # --- to ray-major slots (sort by static permutation key) ---------------
     vals1 = jnp.concatenate([g.reshape(-1),
                              jnp.full((nslots - L * L,), inf)])
     _, g_slots = jax.lax.sort([key1, vals1], num_keys=1)
 
-    # --- per-group min, exclusive suffix over strictly-farther groups ------
     nb = cap // G
     bins = g_slots.reshape(R, nb, G).min(axis=2)               # (R, nb)
     suffix = jax.lax.cummin(bins, axis=1, reverse=True)
@@ -208,9 +206,57 @@ def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
     slot_beyond = jnp.broadcast_to(beyond[:, :, None],
                                    (R, nb, G)).reshape(-1)
 
-    # --- back to cell order (sort by the static inverse key) ---------------
     _, bound_cells = jax.lax.sort([key2, slot_beyond], num_keys=1)
-    min_g = bound_cells[:L * L].reshape(L, L)                  # geographic
+    return bound_cells[:L * L].reshape(L, L)                   # geographic
+
+
+def _far_pool(cfg: MapConfig) -> int:
+    p = cfg.raytrace_far_pool
+    if p > 0:
+        return p
+    return 2 if cfg.length >= 512 else 1
+
+
+def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
+    """Returns state with occluding stale obstacles deleted and the lowest
+    plane reset (Raytracing host wrapper, gpu_process.cu:1304-1318)."""
+    L = cfg.length
+    R = cfg.num_rays()
+    G = cfg.raytrace_group if cfg.raytrace_group > 0 else max(2, L // 250)
+    d_np, _, _, _, _ = _tables(L, R, G)
+    d = jnp.asarray(d_np)
+    inf = jnp.float32(jnp.inf)
+
+    # --- constraint field g per geographic cell -----------------------------
+    low = state.lowest
+    seen = (low != cfg.lowest_reset) & (low != cfg.lowest_init) & (d > 0.0)
+    g = jnp.where(seen, (low - state.sensor_z) / jnp.maximum(d, 1e-6), inf)
+
+    # --- far field: suffix-min over the ray partition ----------------------
+    # With pooling p > 1, g is min-pooled p x p FIRST: the pooled field's
+    # suffix min equals the full-res suffix min over the same cells (min
+    # commutes), so constraint VALUES are exact; only the "strictly
+    # farther" exclusion coarsens to pooled-group granularity (~p*G cells
+    # — conservative: the bound can only rise).  The slot sorts shrink by
+    # p^2 — they were the raytrace's dominant cost at L=1000
+    # (bench/results/PROFILE_r2.md).
+    p = _far_pool(cfg)
+    if p == 1:
+        min_g = _far_min_g(g, L, R, G)
+    else:
+        Lp = -(-L // p)
+        pad = Lp * p - L
+        g_pad = jnp.pad(g, ((0, pad), (0, pad)), constant_values=jnp.inf)
+        g_p = g_pad.reshape(Lp, p, Lp, p).min(axis=(1, 3))
+        from gem_tpu.config import _round_up
+
+        Rp = (cfg.raytrace_num_rays if cfg.raytrace_num_rays > 0
+              else _round_up(3 * Lp, 128))
+        Gp = cfg.raytrace_group if cfg.raytrace_group > 0 \
+            else max(2, Lp // 250)
+        min_g_p = _far_min_g(g_p, Lp, Rp, Gp)
+        min_g = jnp.repeat(jnp.repeat(min_g_p, p, axis=0), p,
+                           axis=1)[:L, :L]
 
     # --- near-field cone (resample formulation, static gathers) ------------
     R_n, S0, n_idx, n_in, (blo, bhi), bray, bk, bd = _near_tables(L, R)

@@ -126,3 +126,58 @@ def test_ray_tables_are_bijective():
         for r in range(R):
             ds = per_ray[r][~np.isnan(per_ray[r])]
             assert (np.diff(ds) >= 0).all()
+
+
+def test_far_pool_conservative_and_agrees():
+    """Pooled far field (raytrace_far_pool=2): min-pooling keeps constraint
+    VALUES exact, coarsens the strictly-farther exclusion (conservative,
+    misses a few deletions) and widens the azimuthal corridor to ~+-p/2
+    cells (a handful of extra deletions, same class as the reference
+    DDA's own +-0.5..1-cell rounding corridor).  Demand near-subset +
+    high agreement."""
+    L = 128
+    # small ray count pushes D0 (= 0.175*R) down to ~22 cells so most of
+    # the map is genuinely far-field
+    base = dict(length=L, resolution=0.2, raytrace_num_rays=128)
+    cfg_exact = MapConfig(**base, raytrace_far_pool=1)
+    cfg_pool = MapConfig(**base, raytrace_far_pool=2)
+    rng = np.random.default_rng(3)
+    elev = rng.normal(0.0, 0.2, (L, L)).astype(np.float32)
+    lowest = rng.normal(-0.2, 0.3, (L, L)).astype(np.float32)
+    lowest[rng.random((L, L)) < 0.3] = 10.0
+    obs = rng.random((L, L)) < 0.1
+    elev[obs] += rng.uniform(1.5, 3.0, obs.sum())
+    traver = np.where(obs, 0.1, 1.0).astype(np.float32)
+    state = _mkstate(cfg_exact, elev, lowest, sensor_z=1.2, start=(11, 5))
+
+    out_e = raytrace_cleanup(state, cfg_exact, jnp.asarray(traver))
+    out_p = raytrace_cleanup(state, cfg_pool, jnp.asarray(traver))
+    del_e = np.asarray(out_e.elevation) == cfg_exact.invalid_elevation
+    del_p = np.asarray(out_p.elevation) == cfg_pool.invalid_elevation
+    assert del_e.sum() > 20          # the scene actually exercises deletion
+    extra = (del_p & ~del_e).sum()
+    missed = (del_e & ~del_p).sum()
+    # near-subset: the corridor widening may add only a sliver
+    assert extra <= 0.01 * del_e.sum(), (extra, del_e.sum())
+    # and the coarser exclusion keeps nearly all exact deletions
+    assert missed <= 0.1 * del_e.sum(), (missed, del_e.sum())
+
+
+def test_far_pool_far_phantom_deleted():
+    """A far-field phantom wall (beyond the near block) with ground seen
+    well behind it must still be deleted with pooling on."""
+    L = 128
+    base = dict(length=L, resolution=0.2, raytrace_num_rays=128)
+    cfg = MapConfig(**base, raytrace_far_pool=2)
+    c = L // 2
+    elev = np.zeros((L, L), np.float32)
+    lowest = np.full((L, L), 100.0, np.float32)
+    # wall at geographic row c+40 (d=40 >> D0~22), ground behind from c+48
+    elev[c + 40, c] = 2.0
+    for r in range(c + 48, L):
+        lowest[r, c] = 0.0
+    traver = np.full((L, L), 1.0, np.float32)
+    traver[c + 40, c] = 0.1
+    state = _mkstate(cfg, elev, lowest, sensor_z=1.0)
+    out = raytrace_cleanup(state, cfg, jnp.asarray(traver))
+    assert np.asarray(out.elevation)[c + 40, c] == cfg.invalid_elevation
