@@ -411,7 +411,8 @@ def phase_raytrace(spec):
     from gem_tpu.kernels.raytrace import raytrace_cleanup
 
     L = spec.get("length", LENGTH)
-    cfg = MapConfig(length=L, resolution=0.1)
+    cfg = MapConfig(length=L, resolution=0.1,
+                    raytrace_far_pool=spec.get("far_pool", 0))
     rng = np.random.default_rng(0)
     st = init_map_state(cfg)
     st = st.replace(
@@ -504,6 +505,11 @@ def _make_step_inputs(spec):
     length = spec.get("length", LENGTH)
     n_points = spec.get("points", N_POINTS)
     cfg = benchmark_config(length=length, max_points=n_points)
+    if spec.get("far_pool"):
+        import dataclasses as _dc
+
+        cfg = cfg.replace(map=_dc.replace(cfg.map,
+                                          raytrace_far_pool=spec["far_pool"]))
     cfg = cfg.replace(
         enable_features=spec.get("features", True),
         enable_raytrace=spec.get("raytrace", True),
