@@ -248,13 +248,12 @@ def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
         pad = Lp * p - L
         g_pad = jnp.pad(g, ((0, pad), (0, pad)), constant_values=jnp.inf)
         g_p = g_pad.reshape(Lp, p, Lp, p).min(axis=(1, 3))
-        from gem_tpu.config import _round_up
-
-        Rp = (cfg.raytrace_num_rays if cfg.raytrace_num_rays > 0
-              else _round_up(3 * Lp, 128))
+        # keep the FULL-res ray count: the padded slot count is set by the
+        # pooled CELL count (cap ~ 1.12*Lp^2/R), so finer azimuth corridors
+        # cost nothing (verified: identical nslots at R vs R/p)
         Gp = cfg.raytrace_group if cfg.raytrace_group > 0 \
             else max(2, Lp // 250)
-        min_g_p = _far_min_g(g_p, Lp, Rp, Gp)
+        min_g_p = _far_min_g(g_p, Lp, R, Gp)
         min_g = jnp.repeat(jnp.repeat(min_g_p, p, axis=0), p,
                            axis=1)[:L, :L]
 
