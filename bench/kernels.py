@@ -74,7 +74,7 @@ def main():
     step_ms = {}
     for be in args.backends.split(","):
         row = run_worker({"phase": "step", "fuse": be,
-                          "feature_backend": "pallas",
+                          "feature_backend": "pallas", "n_frames": 2,
                           "length": args.length, "points": args.points})
         ms = row.get("per_program_ms")
         res[f"step_{be}_ms"] = round(ms, 3) if ms else row.get("error")
@@ -103,7 +103,7 @@ def main():
                 res["step_all_ms"] = step_ms[best]
                 continue
             spec = {"phase": "step", "fuse": knobs.get("fuse", best),
-                    "feature_backend": "pallas",
+                    "feature_backend": "pallas", "n_frames": 2,
                     "length": args.length, "points": args.points}
             spec.update({k: v for k, v in knobs.items() if k != "fuse"})
             row = run_worker(spec)

@@ -1,0 +1,69 @@
+#!/bin/bash
+# Round-3 on-chip measurement sequence.  Run ONLY when the relay is healthy
+# (scripts check first).  One TPU process at a time (CLAUDE.md), generous
+# timeouts, everything logged under bench/results/round3/.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="$REPO/bench/results/round3"
+mkdir -p "$OUT"
+cd "$REPO"
+
+log() { echo "[round3 $(date +%H:%M:%S)] $*" | tee -a "$OUT/run.log"; }
+
+# 0. relay health: a trivial program with a value fetch must finish fast
+log "health probe"
+if ! timeout 300 python bench/probe.py worker '{"name":"nop","phase":"nop"}' \
+     > "$OUT/nop.txt" 2>&1; then
+  log "relay unhealthy (nop probe timed out) — aborting"
+  exit 1
+fi
+grep PROBE_RESULT "$OUT/nop.txt" | tee -a "$OUT/run.log"
+
+run_phase() {  # name spec timeout
+  local name="$1" spec="$2" to="${3:-2400}"
+  log "phase $name"
+  timeout "$to" python bench/probe.py worker "$spec" > "$OUT/$name.txt" 2>&1
+  grep PROBE_RESULT "$OUT/$name.txt" | tail -1 | tee -a "$OUT/run.log"
+}
+
+# 1. control matmul
+run_phase matmul_ctl '{"name":"matmul_ctl","phase":"matmul"}' 1200
+
+# 2. raytrace-only far_pool A/B at 1000^2
+run_phase ray_pool1 '{"name":"ray_pool1","phase":"raytrace","far_pool":1}' 2400
+run_phase ray_pool2 '{"name":"ray_pool2","phase":"raytrace","far_pool":2}' 2400
+run_phase ray_pool4 '{"name":"ray_pool4","phase":"raytrace","far_pool":4}' 2400
+
+# 3. full-step strict rows (the north-star gaps): 128k Hz row and 1M row,
+#    far_pool default(2) vs exact(1)
+run_phase step_hz_p2 '{"name":"step_hz_p2","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000
+run_phase step_hz_p1 '{"name":"step_hz_p1","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"far_pool":1,"k_lo":4,"k_hi":24,"trials":3}' 3000
+run_phase step_1m_p2 '{"name":"step_1m_p2","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000
+
+# 4. headline harness (writes BENCH_DETAIL.json; cache now warm)
+log "bench.py --full"
+GEM_BENCH_BUDGET_S=2400 timeout 2500 python bench.py --full \
+  > "$OUT/bench_full.json" 2> "$OUT/bench_full.err"
+tail -1 "$OUT/bench_full.json" | tee -a "$OUT/run.log"
+
+# 5. accuracy on the production backend, on-chip
+log "accuracy (stream + segment on-chip)"
+timeout 3600 python bench/accuracy.py --backends stream,segment \
+  > "$OUT/accuracy.txt" 2>&1
+tail -20 "$OUT/accuracy.txt" | tee -a "$OUT/run.log"
+
+# 6. backend shoot-out -> FUSE_CALIBRATION regen (same run as BENCH_KERNELS)
+log "kernels.py shoot-out"
+timeout 7200 python bench/kernels.py --backends stream,segment --no-ablate \
+  > "$OUT/kernels.txt" 2>&1
+tail -5 "$OUT/kernels.txt" | tee -a "$OUT/run.log"
+
+# 7. driver-artifact rehearsal: exactly what the driver runs
+log "bench.py rehearsal (default budget)"
+timeout 600 python bench.py > "$OUT/bench_default.json" 2> "$OUT/bench_default.err"
+tail -1 "$OUT/bench_default.json" | tee -a "$OUT/run.log"
+log "dryrun_multichip rehearsal"
+timeout 600 python -c 'import __graft_entry__ as g; g.dryrun_multichip(8)' \
+  > "$OUT/dryrun.txt" 2>&1 && tail -1 "$OUT/dryrun.txt" | tee -a "$OUT/run.log"
+
+log "done"

@@ -93,6 +93,11 @@ _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 # pass-A one-hot source: "build" = second iota-compare (default),
 # "transpose" = MXU/vector transpose of the pass-B one-hot
 _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
+# pass-A mechanism: "dot" = one-hot MXU broadcast (default, measured);
+# "gather" = per-point in-kernel take_along_axis from the VMEM tile —
+# removes the second one-hot build + dot entirely IF Mosaic lowers the
+# sublane gather (A/B on real TPU; interpret-mode tests cover semantics)
+_PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
 
 
 def _cdiv(a, b):
@@ -164,7 +169,7 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         cl_row = p[0:1, :] - base              # (1, CHUNK)
         cl_i = cl_row.astype(jnp.int32)        # exact: cell ids < 2^24
         onehot = jnp.where(jnp.transpose(cl_i) == lane, 1.0, 0.0)
-        if "noprior" not in _ABLATE:
+        if "noprior" not in _ABLATE and _PASSA != "gather":
             if _OHT == "transpose":
                 oh_tc = jnp.transpose(onehot)  # (TILE, CHUNK)
             else:
@@ -192,6 +197,20 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             v0_pt = v * 0.0 + mcfg.min_variance
             sth = h
             stv = v
+        elif _PASSA == "gather":
+            # per-point anchor via a sublane take_along_axis from the
+            # (TILE, 4) VMEM-resident prior matrix: no second one-hot, no
+            # dot.  Out-of-tile rows (aligned prefix / pad) get clamped
+            # garbage — harmless, their contributions never scatter (the
+            # pass-B one-hot has no matching lane for them).
+            idx = jnp.clip(jnp.transpose(cl_i), 0, TILE - 1)  # (CHUNK, 1)
+            g4 = jnp.take_along_axis(
+                pri, jnp.broadcast_to(idx, (CHUNK, 4)), axis=0)  # (C, 4)
+            gT = jnp.transpose(g4)                             # (4, CHUNK)
+            e0_pt = gT[0:1, :]
+            v0_pt = gT[1:2, :]
+            sth = gT[2:3, :]
+            stv = gT[3:4, :]
         else:
             prior = jax.lax.dot_general(
                 pri, oh_tc, (((0,), (0,)), ((), ())),
