@@ -19,10 +19,12 @@ if ! timeout 300 python bench/probe.py worker '{"name":"nop","phase":"nop"}' \
 fi
 grep PROBE_RESULT "$OUT/nop.txt" | tee -a "$OUT/run.log"
 
-run_phase() {  # name spec timeout
+run_phase() {  # name spec timeout [env...]
   local name="$1" spec="$2" to="${3:-2400}"
-  log "phase $name"
-  timeout "$to" python bench/probe.py worker "$spec" > "$OUT/$name.txt" 2>&1
+  shift 3 2>/dev/null || shift $#
+  log "phase $name $*"
+  env "$@" timeout "$to" python bench/probe.py worker "$spec" \
+    > "$OUT/$name.txt" 2>&1
   grep PROBE_RESULT "$OUT/$name.txt" | tail -1 | tee -a "$OUT/run.log"
 }
 
@@ -39,6 +41,13 @@ run_phase ray_pool4 '{"name":"ray_pool4","phase":"raytrace","far_pool":4}' 2400
 run_phase step_hz_p2 '{"name":"step_hz_p2","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000
 run_phase step_hz_p1 '{"name":"step_hz_p1","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"far_pool":1,"k_lo":4,"k_hi":24,"trials":3}' 3000
 run_phase step_1m_p2 '{"name":"step_1m_p2","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000
+
+# 3b. fuse-kernel A/B: gather pass-A variant and CHUNK=1024 at 1M
+run_phase step_1m_passa_gather '{"name":"step_1m_passa_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_PASSA=gather
+run_phase step_hz_passa_gather '{"name":"step_hz_passa_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_PASSA=gather
+run_phase step_1m_chunk1024 '{"name":"step_1m_chunk1024","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_CHUNK=1024
+run_phase fusek_1m '{"name":"fusek_1m","phase":"fusekernel","points":1048576,"k_lo":2,"k_hi":12,"trials":3}' 3000
+run_phase fusek_1m_gather '{"name":"fusek_1m_gather","phase":"fusekernel","points":1048576,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_PASSA=gather
 
 # 4. headline harness (writes BENCH_DETAIL.json; cache now warm)
 log "bench.py --full"
