@@ -127,6 +127,8 @@ def main():
             out["phases_skipped"] = state["phases_skipped"]
             if reason:
                 out["partial_reason"] = reason
+        if detail.get("relay_precheck_failed"):
+            out["relay_precheck_failed"] = True
         detail["partial"] = partial
         detail["wall_total_s"] = round(time.time() - t_start, 1)
         try:
@@ -168,6 +170,24 @@ def main():
               f"(wall {row.get('wall_s')}s, budget left {budget_left():.0f}s)",
               file=sys.stderr, flush=True)
         return row
+
+    # --- fast relay precheck ----------------------------------------------
+    # A healthy relay compiles + runs the trivial nop phase well inside
+    # 120 s (round-2 wall ~25 s); when the axon client hangs in
+    # make_c_api_client (the round-2/3 outage mode) this fails fast and the
+    # run records the diagnosis instead of burning the whole budget on the
+    # first real phase.  We still attempt the real phases with whatever
+    # budget remains — a sick relay costs nothing extra, a slow-but-alive
+    # one still gets its numbers.
+    pre = run_worker({"name": "nop", "phase": "nop"},
+                     timeout=min(150.0, max(args.budget / 4, 60.0)))
+    if "error" in pre:
+        detail["relay_precheck_failed"] = True
+        detail["relay_precheck_error"] = pre["error"]
+        print("bench.py: relay precheck FAILED (client init hang?) — "
+              "continuing with remaining budget", file=sys.stderr, flush=True)
+    else:
+        detail["nop_ms"] = pre.get("per_program_ms")
 
     step_common = {"phase": "step", "fuse": backend,
                    "feature_backend": "pallas", "length": length,
