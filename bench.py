@@ -46,23 +46,36 @@ MARGIN_S = 15        # reserved for final emit/IO
 MIN_PHASE_S = 45     # don't start a phase with less than this left
 
 
+_current_worker = None   # in-flight probe subprocess, killed on signal:
+# orphaning it would leave a TPU-attached process running into the NEXT
+# benchmark (CLAUDE.md: never two TPU-using processes concurrently)
+
+
 def run_worker(spec: dict, timeout: float) -> dict:
     """One probe phase in its own subprocess (one jitted program each)."""
+    global _current_worker
     t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, PROBE, "worker", json.dumps(spec)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO)
+    _current_worker = proc
     try:
-        proc = subprocess.run(
-            [sys.executable, PROBE, "worker", json.dumps(spec)],
-            capture_output=True, text=True, timeout=timeout, cwd=REPO)
-    except subprocess.TimeoutExpired as e:
-        tail = ((e.stderr or b"").decode(errors="replace")
-                if isinstance(e.stderr, bytes) else (e.stderr or ""))
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            _, stderr = proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            stderr = ""
         return {"error": f"phase timeout after {timeout:.0f}s",
-                "stderr_tail": tail[-500:],
+                "stderr_tail": (stderr or "")[-500:],
                 "wall_s": round(time.time() - t0, 1)}
-    lines = [ln for ln in proc.stdout.splitlines()
+    finally:
+        _current_worker = None
+    lines = [ln for ln in stdout.splitlines()
              if ln.startswith("PROBE_RESULT ")]
     if not lines:
-        return {"error": (proc.stderr or proc.stdout)[-2000:],
+        return {"error": (stderr or stdout)[-2000:],
                 "wall_s": round(time.time() - t0, 1)}
     out = json.loads(lines[-1][len("PROBE_RESULT "):])
     out["wall_s"] = round(time.time() - t0, 1)
@@ -99,7 +112,8 @@ def main():
               "n_points_hz_frame": hz_points,
               "n_points_throughput_frame": tp_points}
     state = {"points_per_sec": 0.0, "hz": None, "hz_ref": None,
-             "phases_done": [], "phases_skipped": [], "emitted": False}
+             "phases_done": [], "phases_skipped": [], "phases_errored": [],
+             "emitted": False}
 
     def write_detail():
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
@@ -125,6 +139,7 @@ def main():
             out["partial"] = True
             out["phases_done"] = state["phases_done"]
             out["phases_skipped"] = state["phases_skipped"]
+            out["phases_errored"] = state["phases_errored"]
             if reason:
                 out["partial_reason"] = reason
         if detail.get("relay_precheck_failed"):
@@ -140,6 +155,11 @@ def main():
     def on_signal(signum, frame):
         print(f"bench.py: caught signal {signum}, emitting partial result",
               file=sys.stderr, flush=True)
+        if _current_worker is not None:       # don't orphan a TPU process
+            try:
+                _current_worker.kill()
+            except OSError:
+                pass
         emit(partial=True, reason=f"signal {signum}")
         os._exit(0)
 
@@ -159,6 +179,7 @@ def main():
         detail.setdefault("phase_walls_s", {})[name] = row.get("wall_s")
         if "error" in row:
             detail[name + "_error"] = row["error"]
+            state["phases_errored"].append(name)
         else:
             state["phases_done"].append(name)
         try:
@@ -171,23 +192,33 @@ def main():
               file=sys.stderr, flush=True)
         return row
 
-    # --- fast relay precheck ----------------------------------------------
-    # A healthy relay compiles + runs the trivial nop phase well inside
-    # 120 s (round-2 wall ~25 s); when the axon client hangs in
-    # make_c_api_client (the round-2/3 outage mode) this fails fast and the
-    # run records the diagnosis instead of burning the whole budget on the
-    # first real phase.  We still attempt the real phases with whatever
-    # budget remains — a sick relay costs nothing extra, a slow-but-alive
-    # one still gets its numbers.
-    pre = run_worker({"name": "nop", "phase": "nop"},
-                     timeout=min(150.0, max(args.budget / 4, 60.0)))
+    # --- control-matmul precheck (relay health, CLAUDE.md timing rule) ----
+    # Runs FIRST so every emitted headline carries a health verdict:
+    # known-FLOPs matmul must hit >100 TFLOP/s in this same harness, else
+    # the relay is in its 1000x-slow or hung mode and the numbers are
+    # flagged.  A healthy relay finishes this well inside the timeout
+    # (round-2 wall ~60-120 s incl. compile); the hung-client outage mode
+    # fails fast here instead of burning the whole budget on the first
+    # step phase.
+    pre = run_worker({"name": "matmul_ctl", "phase": "matmul",
+                      "dim": 4096 if quick else 8192},
+                     timeout=min(240.0, max(args.budget / 3, 60.0)))
+    detail.setdefault("phase_walls_s", {})["matmul_ctl"] = pre.get("wall_s")
     if "error" in pre:
         detail["relay_precheck_failed"] = True
         detail["relay_precheck_error"] = pre["error"]
-        print("bench.py: relay precheck FAILED (client init hang?) — "
-              "continuing with remaining budget", file=sys.stderr, flush=True)
+        state["phases_errored"].append("matmul_ctl")
+        print("bench.py: control-matmul precheck FAILED (client hang or "
+              "dead-slow relay) — continuing with remaining budget",
+              file=sys.stderr, flush=True)
     else:
-        detail["nop_ms"] = pre.get("per_program_ms")
+        state["phases_done"].append("matmul_ctl")
+        detail["control_matmul_tflops"] = pre.get("tflops")
+        detail["relay_healthy"] = bool((pre.get("tflops") or 0) > 100)
+        if not detail["relay_healthy"]:
+            print(f"WARNING: control matmul {pre.get('tflops')} TFLOP/s "
+                  "(<100): relay/chip unhealthy, numbers suspect",
+                  file=sys.stderr, flush=True)
 
     step_common = {"phase": "step", "fuse": backend,
                    "feature_backend": "pallas", "length": length,
@@ -224,18 +255,7 @@ def main():
         detail["points_per_sec_big_ref_cadence_lidar"] = pps
         state["points_per_sec"] = max(state["points_per_sec"], pps)
 
-    # --- priority 3: control matmul (chip + relay health) ------------------
-    row = run_phase("matmul_ctl", {"phase": "matmul",
-                                   "dim": 4096 if quick else 8192})
-    if row:
-        detail["control_matmul_tflops"] = row.get("tflops")
-        detail["relay_healthy"] = bool((row.get("tflops") or 0) > 100)
-        if not detail["relay_healthy"]:
-            print(f"WARNING: control matmul {row.get('tflops')} TFLOP/s "
-                  "(<100): relay/chip unhealthy, numbers suspect",
-                  file=sys.stderr, flush=True)
-
-    # --- priority 4: points/s, 1M camera-on frame, STRICT ------------------
+    # --- priority 3: points/s, 1M camera-on frame, STRICT ------------------
     row = run_phase("step_tp_strict", dict(
         step_common, points=tp_points, k_lo=2, k_hi=12, trials=3))
     if row and row.get("per_program_ms"):
@@ -265,7 +285,8 @@ def main():
             state["points_per_sec"] = max(state["points_per_sec"],
                                           detail["scan_points_per_sec"])
 
-    partial = bool(state["phases_skipped"]) or not state["phases_done"]
+    partial = (bool(state["phases_skipped"]) or bool(state["phases_errored"])
+               or not state["phases_done"])
     print(json.dumps(detail, indent=2), file=sys.stderr)
     emit(partial=partial,
          reason="budget exhausted" if state["phases_skipped"] else None)

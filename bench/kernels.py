@@ -88,13 +88,29 @@ def main():
         sys.path.insert(0, REPO)
         from gem_tpu.mapping.calibrate import save_record
 
-        # The parent must NEVER initialize a jax client (CLAUDE.md: an idle
-        # client attached to the axon relay perturbs the workers' timings;
-        # round-2 advisor finding).  This harness always runs on the TPU
-        # host — the platform is "tpu" by construction, same as bench.py.
-        save_record("tpu", best, step_ms,
-                    context={"length": args.length, "points": args.points,
-                             "harness": "bench/kernels.py"})
+        # The parent must NEVER initialize a jax client while workers own
+        # the relay (CLAUDE.md; round-2 advisor finding) — so resolve the
+        # platform in a SUBPROCESS, after all shoot-out workers exited.
+        # Hardcoding "tpu" here would let a CPU-box run silently rewrite
+        # the shipped TPU default (round-3 review finding).
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; from gem_tpu.mapping.calibrate import "
+                 "_platform; print(_platform())"],
+                capture_output=True, text=True, timeout=600, cwd=REPO)
+            platform = (probe.stdout.strip().splitlines() or [""])[-1]
+        except subprocess.TimeoutExpired:
+            platform = ""
+        res["platform"] = platform or "unknown"
+        if platform in ("tpu", "cpu", "gpu"):
+            save_record(platform, best, step_ms,
+                        context={"length": args.length,
+                                 "points": args.points,
+                                 "harness": "bench/kernels.py"})
+        else:
+            print("  platform probe failed; NOT writing FUSE_CALIBRATION",
+                  file=sys.stderr)
 
     if not args.no_ablate and step_ms:
         best = res["fastest_backend"]

@@ -104,7 +104,10 @@ def _serialize(keys: np.ndarray) -> tuple[bytes, int]:
         return count
 
     if keys.shape[0] == 0:
-        return b"", 1
+        # octomap convention: an empty tree has size 0 and no stream —
+        # size >= 1 promises a readable root descriptor, which a zero-byte
+        # stream cannot honor (round-3 review finding)
+        return b"", 0
     n_nodes = node(kx, ky, kz, TREE_DEPTH - 1)
     return out.getvalue(), n_nodes
 

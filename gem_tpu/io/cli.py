@@ -274,13 +274,6 @@ def cmd_run(args):
             jnp.asarray(cat["traver"]), jnp.asarray(cat["valid"]),
             origin=origin, base_resolution=voxel_res,
             shape=shape, travers_threshold=cfg.traversability_threshold)
-        out = {}
-        for name, levels in (("road", road), ("obstacle", obs)):
-            for i, g in enumerate(levels):
-                out[f"{name}_l{i}_occ"] = np.asarray(g.occupancy)
-                out[f"{name}_l{i}_color"] = np.asarray(g.color)
-                out[f"{name}_l{i}_res"] = np.float32(g.resolution)
-        out["origin"] = np.asarray(origin, np.float32)
         n_road = int(np.asarray(road[0].occupancy).sum())
         n_obs = int(np.asarray(obs[0].occupancy).sum())
         if args.save_octomap.endswith(".bt"):
@@ -289,15 +282,26 @@ def cmd_run(args):
             from gem_tpu.global_map.octomap_io import write_voxelgrid_bt
 
             stem = args.save_octomap[:-3]
+            written = []
             for name, g in (("road", road[0]), ("obstacle", obs[0])):
                 p = f"{stem}_{name}.bt"
                 nn = write_voxelgrid_bt(p, np.asarray(g.occupancy),
                                         g.origin, g.resolution)
+                written.append(p)
                 print(f"octomap {name} ({nn} nodes) -> {p}")
+            print(f"voxel pyramid (road {n_road} / obstacle {n_obs} "
+                  f"voxels) -> {' + '.join(written)}")
         else:
+            out = {}
+            for name, levels in (("road", road), ("obstacle", obs)):
+                for i, g in enumerate(levels):
+                    out[f"{name}_l{i}_occ"] = np.asarray(g.occupancy)
+                    out[f"{name}_l{i}_color"] = np.asarray(g.color)
+                    out[f"{name}_l{i}_res"] = np.float32(g.resolution)
+            out["origin"] = np.asarray(origin, np.float32)
             np.savez_compressed(args.save_octomap, **out)
-        print(f"voxel pyramid (road {n_road} / obstacle {n_obs} voxels) -> "
-              f"{args.save_octomap}")
+            print(f"voxel pyramid (road {n_road} / obstacle {n_obs} "
+                  f"voxels) -> {args.save_octomap}")
 
     if args.publish_submaps:
         from gem_tpu.msgs import submap_record_from_store
@@ -381,26 +385,29 @@ def cmd_fleet(args):
     if dist is not None:
         assert R % args.num_processes == 0, \
             "--robots must divide evenly across --num-processes"
+        n_dev = len(jax.devices())
+        assert R % n_dev == 0, (
+            f"--robots ({R}) must be a multiple of the global device count "
+            f"({n_dev}): the robot axis shards evenly over the whole "
+            f"multi-host mesh")
+        r0 = R // args.num_processes * args.process_id
         r_local = R // args.num_processes
-        r0 = args.process_id * r_local
-        gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
-                for r in range(r0, r0 + r_local)]
+    else:
+        r0, r_local = 0, R
+    gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
+            for r in range(r0, r0 + r_local)]
+    if dist is not None:
         mesh = dist.global_mesh()
         state = dist.distribute_fleet(make_fleet_state(cfg, r_local), mesh)
         step_fn = sharded_fleet_step(cfg, mesh)
-    else:
-        gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
-                for r in range(R)]
-        state = make_fleet_state(cfg, R)
-    if dist is not None:
-        pass
     elif args.mesh:
         mesh = make_mesh(min(len(jax.devices()), R))
-        state = shard_fleet(state, mesh)
+        state = shard_fleet(make_fleet_state(cfg, R), mesh)
         step_fn = sharded_fleet_step(cfg, mesh)
     else:
         import functools as _ft
 
+        state = make_fleet_state(cfg, R)
         step_fn = jax.jit(_ft.partial(fleet_step, cfg=cfg))
 
     t0 = time.time()

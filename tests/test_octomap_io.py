@@ -80,8 +80,12 @@ def test_bt_pruning_collapses_full_blocks(tmp_path):
 def test_bt_empty(tmp_path):
     p = str(tmp_path / "empty.bt")
     write_bt(p, np.zeros(0), np.zeros(0), np.zeros(0), 0.1)
-    res, keys, _ = read_bt(p)
+    res, keys, header = read_bt(p)
     assert keys.shape == (0, 3)
+    # octomap convention: empty tree = size 0, no stream bytes
+    assert header["size"] == 0
+    data = open(p, "rb").read()
+    assert data.endswith(b"data\n")
 
 
 def test_voxelgrid_bt(tmp_path):
