@@ -116,11 +116,12 @@ class MapConfig:
     slope_critical: float = 0.6
     rough_critical: float = 0.2
 
-    # raytrace discretisation (kernels/raytrace.py); rays default to ~4 per
+    # raytrace discretisation (kernels/raytrace.py); rays default to ~3 per
     # boundary cell when <= 0.  raytrace_group = radial cells per
     # "strictly farther" granule along a ray (the nearest group-1 ray-mates
-    # never delete an obstacle — conservative).  num_steps is kept for the
-    # radial-step-table formulation used by sharded variants.
+    # never delete an obstacle — conservative).  num_steps parametrises the
+    # round-1 radial-step-table formulation (superseded; accepted for yaml
+    # compatibility).
     raytrace_num_rays: int = 0
     raytrace_num_steps: int = 0
     raytrace_group: int = 0     # 0 => max(2, length // 250)
