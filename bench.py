@@ -200,9 +200,11 @@ def main():
     # (round-2 wall ~60-120 s incl. compile); the hung-client outage mode
     # fails fast here instead of burning the whole budget on the first
     # step phase.
-    pre = run_worker({"name": "matmul_ctl", "phase": "matmul",
-                      "dim": 4096 if quick else 8192},
-                     timeout=min(240.0, max(args.budget / 3, 60.0)))
+    pre = ({"error": "skipped: budget too small"}
+           if budget_left() < MIN_PHASE_S else
+           run_worker({"name": "matmul_ctl", "phase": "matmul",
+                       "dim": 4096 if quick else 8192},
+                      timeout=min(240.0, max(args.budget / 3, 60.0))))
     detail.setdefault("phase_walls_s", {})["matmul_ctl"] = pre.get("wall_s")
     if "error" in pre:
         detail["relay_precheck_failed"] = True

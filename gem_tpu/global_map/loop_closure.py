@@ -188,7 +188,7 @@ def refuse_rounds(slots: PointBuffer, rounds, rounds_valid,
     degree) instead of O(#pairs) (round-2 verdict weak #6: K=256 dense
     rings made the serial scan dominate).  The fusion order within an
     event is a free choice — the reference's is thread-timing-dependent
-    (PARITY.md "loop-closure pair order").
+    (PARITY.md, "Loop-closure re-stitch" row).
 
     rounds       : (R, P, 2) i32 slot indices
     rounds_valid : (R, P) bool — padding lanes are no-ops
