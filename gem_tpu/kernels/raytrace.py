@@ -138,7 +138,7 @@ def _tables(L: int, R: int, G: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _near_tables(L: int, R: int):
+def _near_tables(L: int, R: int, cap: float = 192.0):
     """Near-field polar resample tables (see module docstring: for
     constraint cells closer than D0 = R_far/(4*pi) the per-ray partition's
     azimuth quantum exceeds the reference's +-0.5-cell line corridor, so
@@ -149,11 +149,14 @@ def _near_tables(L: int, R: int):
     robot = _robot_geo(L)
     max_d = (L - 1 - robot) * math.sqrt(2.0) + 1.0
     # cover every distance whose ray-corridor halfwidth (pi*d/R cells) is
-    # narrower than the DDA's ~0.5-cell line corridor, capped at 192 cells
-    # so the static gathers stay small on big maps (PARITY.md: beyond the
-    # cap the partition's corridor is 0.3-0.5 cells, comparable to the
-    # reference DDA's own sampling skips)
-    D0 = min(0.175 * R, 192.0, max_d)
+    # narrower than the DDA's ~0.5-cell line corridor, capped at `cap`
+    # cells so the static gathers stay small on big maps (PARITY.md:
+    # beyond the cap the partition's corridor is 0.3-0.5 cells unpooled /
+    # ~+-1 cell pooled, comparable to the reference DDA's own sampling
+    # skips; gather cost scales ~D0^2, and the pooled far field was
+    # measured at 97% oracle agreement covering everything beyond ~22
+    # cells, so the pooled default caps at 96)
+    D0 = min(0.175 * R, cap, max_d)
     S0 = max(int(math.ceil(D0)), 2)
     R_n = min(int(np.ceil(2 * math.pi * S0 / 128.0)) * 128, R)
 
@@ -258,7 +261,11 @@ def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
                            axis=1)[:L, :L]
 
     # --- near-field cone (resample formulation, static gathers) ------------
-    R_n, S0, n_idx, n_in, (blo, bhi), bray, bk, bd = _near_tables(L, R)
+    # with the pooled far field active, its ~+-1-cell corridor covers the
+    # mid range, so the dense resample only needs the short range where
+    # rings are sparser than rays (gathers shrink ~(192/96)^2 = 4x)
+    R_n, S0, n_idx, n_in, (blo, bhi), bray, bk, bd = _near_tables(
+        L, R, cap=192.0 if p == 1 else 96.0)
     low_blk = low[blo:bhi, blo:bhi].reshape(-1)
     low_n = low_blk[jnp.asarray(n_idx).reshape(-1)].reshape(R_n, S0)
     seen_n = jnp.asarray(n_in) & (low_n != cfg.lowest_reset) \
