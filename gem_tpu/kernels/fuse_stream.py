@@ -106,8 +106,9 @@ def _cdiv(a, b):
 
 def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             buf, sem, *, mcfg, CHUNK, with_lowest, with_color):
-    """Aggregate rows written to stats_ref (16, 1, TILE) — stat-major
-    layout so the host-side reshape to (16, cells) is free (no transpose):
+    """Aggregate rows written to stats_ref (16, TILE), a (16, cpad) block
+    column — stat-major so the host-side reshape to (16, cells) is free
+    (no transpose) while the block keeps 16 sublanes:
 
       0 st_h   sum of is_start*h        (= h_max)
       1 st_v   sum of is_start*v        (= v at argmax, min-v tie)
@@ -136,8 +137,8 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     aligned = (p_lo // 128) * 128
     n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
 
-    stats_ref[0:12, 0, :] = jnp.zeros((12, TILE), jnp.float32)
-    stats_ref[12:16, 0, :] = jnp.full((4, TILE), _INF, jnp.float32)
+    stats_ref[0:12, :] = jnp.zeros((12, TILE), jnp.float32)
+    stats_ref[12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
 
     # (TILE, 2) static half of the pass-A matrix (var0 pre-clamped by the
     # caller), built once per tile in sublane orientation
@@ -187,12 +188,12 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         else:
             s1 = jax.lax.dot_general(b1, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        stats_ref[0:3, 0, :] += s1
+        stats_ref[0:3, :] += s1
 
         # --- pass A: broadcast prior + start anchor to each point (MXU) -----
         # LHS (TILE, 4): skinny dim on output SUBLANES (pads to 8, not 128)
         pri = jnp.concatenate(
-            [pri2, jnp.transpose(stats_ref[0:2, 0, :])], axis=1)  # (T, 4)
+            [pri2, jnp.transpose(stats_ref[0:2, :])], axis=1)  # (T, 4)
         if "noprior" in _ABLATE:
             e0_pt = h * 0.0 + jnp.sum(pri) * 1e-30
             v0_pt = v * 0.0 + mcfg.min_variance
@@ -255,7 +256,7 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         else:
             s2 = jax.lax.dot_general(b2, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        stats_ref[4:12, 0, :] += s2
+        stats_ref[4:12, :] += s2
 
         if with_color:
             # colorless chunks (common for camera-less LiDAR) skip the
@@ -274,16 +275,16 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
                 int_chunk = jnp.min(jnp.where(
                     tie, jnp.broadcast_to(jnp.transpose(inten),
                                           (CHUNK, TILE)), _INF), axis=0)
-                vc_old = stats_ref[12, 0, :]
+                vc_old = stats_ref[12, :]
                 lt = vc_chunk < vc_old
                 eq = vc_chunk == vc_old
-                pay_old = stats_ref[13:15, 0, :]
+                pay_old = stats_ref[13:15, :]
                 pay_chunk = jnp.stack([col_chunk, int_chunk])
-                stats_ref[13:15, 0, :] = jnp.where(
+                stats_ref[13:15, :] = jnp.where(
                     lt[None, :], pay_chunk,
                     jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
                               pay_old))
-                stats_ref[12, 0, :] = jnp.minimum(vc_old, vc_chunk)
+                stats_ref[12, :] = jnp.minimum(vc_old, vc_chunk)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -370,7 +371,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),            # var0
         ],
-        out_specs=pl.BlockSpec((_STATS, 1, TILE), lambda t, *_: (0, t, 0),
+        out_specs=pl.BlockSpec((_STATS, TILE), lambda t, *_: (0, t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),       # chunk buffers
@@ -381,7 +382,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
                              with_lowest=with_lowest, with_color=with_color)
     stats = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_STATS, n_tiles, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
         # the dense color branch's (CHUNK, TILE) temps exceed the default
         # 16 MB scoped-vmem cap at larger CHUNK; the chip has 128 MB
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
@@ -390,7 +391,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
 
     # --- dense posterior (identical math to kernels/fuse.py) ---------------
     # stat-major kernel output: this reshape is layout-free (no transpose)
-    s = stats.reshape(_STATS, cpad)[:, :ncell]
+    s = stats[:, :ncell]
     st_h, st_v, st_n = s[0], s[1], s[2]
     W, WH, st_out = s[4], s[5], s[6]
     oc_n, oc_v, oc_c, oc_i = s[7], s[8], s[9], s[10]
