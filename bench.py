@@ -91,6 +91,10 @@ def main():
                     default=float(os.environ.get("GEM_BENCH_BUDGET_S", 480)))
     ap.add_argument("--length", type=int, default=0)
     ap.add_argument("--fuse-backend", default="auto")
+    ap.add_argument("--detail-out",
+                    default=os.path.join(REPO, "BENCH_DETAIL.json"),
+                    help="where to write the detail JSON (tests/smokes "
+                         "should point this away from the committed file)")
     args = ap.parse_args()
 
     t_start = time.time()
@@ -116,7 +120,7 @@ def main():
              "emitted": False}
 
     def write_detail():
-        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        with open(args.detail_out, "w") as f:
             json.dump(detail, f, indent=2)
 
     def emit(partial: bool, reason: str | None = None):

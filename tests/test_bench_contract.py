@@ -11,10 +11,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_json_with_zero_budget():
+def test_bench_emits_json_with_zero_budget(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
-         "--quick", "--budget", "1", "--fuse-backend", "stream"],
+         "--quick", "--budget", "1", "--fuse-backend", "stream",
+         "--detail-out", str(tmp_path / "detail.json")],
         capture_output=True, text=True, timeout=120, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
