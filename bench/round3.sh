@@ -34,6 +34,7 @@ run_phase matmul_ctl '{"name":"matmul_ctl","phase":"matmul"}' 1200
 # 2. raytrace-only far_pool A/B at 1000^2
 run_phase ray_pool1 '{"name":"ray_pool1","phase":"raytrace","far_pool":1}' 2400
 run_phase ray_pool2 '{"name":"ray_pool2","phase":"raytrace","far_pool":2}' 2400
+run_phase ray_pool3 '{"name":"ray_pool3","phase":"raytrace","far_pool":3}' 2400
 run_phase ray_pool4 '{"name":"ray_pool4","phase":"raytrace","far_pool":4}' 2400
 
 # 3. full-step strict rows (the north-star gaps): 128k Hz row and 1M row,
