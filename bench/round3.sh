@@ -49,6 +49,8 @@ run_phase step_hz_passa_gather '{"name":"step_hz_passa_gather","phase":"step","f
 run_phase step_1m_chunk1024 '{"name":"step_1m_chunk1024","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_CHUNK=1024
 run_phase fusek_1m '{"name":"fusek_1m","phase":"fusekernel","points":1048576,"k_lo":2,"k_hi":12,"trials":3}' 3000
 run_phase fusek_1m_gather '{"name":"fusek_1m_gather","phase":"fusekernel","points":1048576,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_PASSA=gather
+# Hz row is tile-count-bound at 128k pts — bigger TILE may win there
+run_phase step_hz_tile2048 '{"name":"step_hz_tile2048","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_TILE=2048
 
 # 4. headline harness (writes BENCH_DETAIL.json; cache now warm)
 log "bench.py --full"
