@@ -11,6 +11,7 @@ import socket
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "_distributed_worker.py")
 
@@ -43,3 +44,39 @@ def test_two_process_fleet_collectives():
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {i} rc={rc}\nstdout:{out}\nstderr:{err[-3000:]}"
         assert f"DIST_OK p{i}" in out, (out, err[-3000:])
+
+
+def test_fleet_cli_coordinator_two_processes(tmp_path):
+    """CLI-level regression of `fleet --coordinator`: the full command every
+    host runs, with robots split across 2 processes x 2 CPU devices."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "import os; os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=2'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from gem_tpu.io.cli import main\n"
+        "main(['fleet', '--robots', '4', '--frames', '2',\n"
+        "      '--max-points', '128', '--coordinator', '127.0.0.1:{port}',\n"
+        "      '--num-processes', '2', '--process-id', sys.argv[1]])\n"
+    ).format(repo=REPO, port=port)
+    script = tmp_path / "fleet_worker.py"
+    script.write_text(code)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"proc {i} rc={rc}\n{out}\n{err[-3000:]}"
+        assert "fleet of 4 robots" in out and "distributed" in out, out
