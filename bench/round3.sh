@@ -70,6 +70,12 @@ timeout 7200 python bench/kernels.py --backends stream,segment --no-ablate \
   > "$OUT/kernels.txt" 2>&1
 tail -5 "$OUT/kernels.txt" | tee -a "$OUT/run.log"
 
+# 6b. device trace of the strict step for the round-3 op breakdown
+log "profiler trace (strict step, benchmark preset)"
+timeout 2400 python -m gem_tpu run --preset benchmark --frames 10 \
+  --max-points 1048576 --profile "$OUT/trace" \
+  > "$OUT/trace_run.txt" 2>&1 && log "trace captured"
+
 # 7. driver-artifact rehearsal: exactly what the driver runs
 log "bench.py rehearsal (default budget)"
 timeout 600 python bench.py > "$OUT/bench_default.json" 2> "$OUT/bench_default.err"
