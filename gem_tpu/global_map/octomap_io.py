@@ -140,6 +140,146 @@ def write_voxelgrid_bt(path: str, occupancy: np.ndarray, origin,
     return write_bt(path, xs, ys, zs, resolution)
 
 
+_OT_FIRST = "# Octomap OcTree file"
+_OCC_LOGODDS = 3.5          # octomap's clampingThresMax default (occupied)
+
+
+def write_ot(path: str, xs, ys, zs, colors, resolution: float) -> int:
+    """Write occupied colored points as an octomap `.ot` ColorOcTree.
+
+    Full format (octomap AbstractOcTree::write + writeNodesRecurs): header
+    first line "# Octomap OcTree file", id/size/res/data, then a pre-order
+    stream of per-node DATA (occupancy log-odds f32-LE + r,g,b bytes for
+    ColorOcTree) followed by one child-bitmask byte.  The reference
+    publishes exactly this tree type (src/ElevationMapping.cpp:234-236).
+    `colors` is packed 0xRRGGBB per point (voxel color = mean of its
+    points).  Returns the node count."""
+    import struct
+
+    raw = coords_to_keys(xs, ys, zs, resolution)
+    # unique voxels; mean color per voxel
+    keys, inv = np.unique(raw, axis=0, return_inverse=True)
+    cols = np.zeros(keys.shape[0], np.int64)
+    if keys.shape[0]:
+        c = np.asarray(colors, np.int64)
+        sums_r = np.bincount(inv, (c >> 16) & 0xFF, keys.shape[0])
+        sums_g = np.bincount(inv, (c >> 8) & 0xFF, keys.shape[0])
+        sums_b = np.bincount(inv, c & 0xFF, keys.shape[0])
+        n = np.bincount(inv, minlength=keys.shape[0]).astype(np.float64)
+        cols = ((sums_r / n).astype(np.int64) << 16) \
+            | ((sums_g / n).astype(np.int64) << 8) \
+            | (sums_b / n).astype(np.int64)
+
+    out = io.BytesIO()
+    kx = keys[:, 0].astype(np.uint32)
+    ky = keys[:, 1].astype(np.uint32)
+    kz = keys[:, 2].astype(np.uint32)
+
+    def node(kx, ky, kz, cols, b) -> int:
+        count = 1
+        r = int(np.mean((cols >> 16) & 0xFF)) if cols.size else 0
+        g = int(np.mean((cols >> 8) & 0xFF)) if cols.size else 0
+        bl = int(np.mean(cols & 0xFF)) if cols.size else 0
+        out.write(struct.pack("<f", _OCC_LOGODDS))
+        out.write(bytes([r, g, bl]))
+        if b < 0:
+            out.write(bytes([0]))
+            return count
+        cidx = ((kx >> b) & 1) | (((ky >> b) & 1) << 1) \
+            | (((kz >> b) & 1) << 2)
+        masks = [(cidx == i) for i in range(8)]
+        mask = 0
+        for i in range(8):
+            if masks[i].any():
+                mask |= 1 << i
+        out.write(bytes([mask]))
+        for i in range(8):
+            m = masks[i]
+            if m.any():
+                count += node(kx[m], ky[m], kz[m], cols[m], b - 1)
+        return count
+
+    n_nodes = 0
+    if keys.shape[0]:
+        n_nodes = node(kx, ky, kz, cols, TREE_DEPTH - 1)
+    with open(path, "wb") as f:
+        f.write((_OT_FIRST + "\n").encode())
+        f.write(b"# (feel free to add / change comments, but leave the "
+                b"first line as it is!)\n#\n")
+        f.write(b"id ColorOcTree\n")
+        f.write(f"size {n_nodes}\n".encode())
+        f.write(f"res {resolution!r}\n".encode())
+        f.write(b"data\n")
+        f.write(out.getvalue())
+    return n_nodes
+
+
+def read_ot(path: str):
+    """Parse a `.ot` ColorOcTree -> (resolution, (N, 3) leaf keys,
+    (N,) packed colors, header dict)."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    nl = data.index(b"\n")
+    if data[:nl].decode().strip() != _OT_FIRST:
+        raise ValueError("not an octomap .ot file")
+    pos = nl + 1
+    header = {}
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl].decode().strip()
+        pos = nl + 1
+        if line.startswith("#") or not line:
+            continue
+        if line == "data":
+            break
+        k, _, v = line.partition(" ")
+        header[k] = v
+    res = float(header["res"])
+    leaves = []
+    colors = []
+
+    def parse(pos, px, py, pz, b):
+        (val,) = struct.unpack("<f", data[pos:pos + 4])
+        r, g, bl = data[pos + 4], data[pos + 5], data[pos + 6]
+        mask = data[pos + 7]
+        pos += 8
+        if mask == 0:
+            if val > 0:  # occupied leaf: expand to depth-16 keys
+                span = 1 << (b + 1) if b >= 0 else 1
+                gr = np.arange(span, dtype=np.uint32)
+                gx, gy, gz = np.meshgrid(gr, gr, gr, indexing="ij")
+                leaves.append(np.stack(
+                    [(px + gx).ravel(), (py + gy).ravel(),
+                     (pz + gz).ravel()], axis=1))
+                colors.append(np.full(span ** 3,
+                                      (r << 16) | (g << 8) | bl, np.int64))
+            return pos
+        for i in range(8):
+            if mask & (1 << i):
+                cx = px | ((i & 1) << b)
+                cy = py | (((i >> 1) & 1) << b)
+                cz = pz | (((i >> 2) & 1) << b)
+                pos = parse(pos, cx, cy, cz, b - 1)
+        return pos
+
+    if pos < len(data):
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 10000))
+        try:
+            parse(pos, 0, 0, 0, TREE_DEPTH - 1)
+        finally:
+            sys.setrecursionlimit(old)
+    keys = (np.concatenate(leaves, axis=0).astype(np.uint16)
+            if leaves else np.zeros((0, 3), np.uint16))
+    cols = (np.concatenate(colors) if colors else np.zeros(0, np.int64))
+    header["size"] = int(header.get("size", 0))
+    return res, keys, cols, header
+
+
 def read_bt(path: str):
     """Parse a `.bt` file -> (resolution, (N, 3) uint16 occupied leaf keys,
     header dict).  Pruned occupied leaves are expanded to depth-16 keys, so

@@ -276,17 +276,32 @@ def cmd_run(args):
             shape=shape, travers_threshold=cfg.traversability_threshold)
         n_road = int(np.asarray(road[0].occupancy).sum())
         n_obs = int(np.asarray(obs[0].occupancy).sum())
-        if args.save_octomap.endswith(".bt"):
-            # octomap binary wire format: two trees like the reference's
-            # road/obstacle octomap msgs (src/ElevationMapping.cpp:502-512)
-            from gem_tpu.global_map.octomap_io import write_voxelgrid_bt
+        if args.save_octomap.endswith((".bt", ".ot")):
+            # octomap binary wire formats: two trees like the reference's
+            # road/obstacle octomap msgs (src/ElevationMapping.cpp:502-512);
+            # .ot = ColorOcTree (the reference's tree type, :234-236),
+            # .bt = occupancy-only bonsai tree
+            from gem_tpu.global_map.octomap_io import (write_ot,
+                                                       write_voxelgrid_bt)
 
+            ext = args.save_octomap[-3:]
             stem = args.save_octomap[:-3]
             written = []
             for name, g in (("road", road[0]), ("obstacle", obs[0])):
-                p = f"{stem}_{name}.bt"
-                nn = write_voxelgrid_bt(p, np.asarray(g.occupancy),
-                                        g.origin, g.resolution)
+                p = f"{stem}_{name}{ext}"
+                occ = np.asarray(g.occupancy)
+                if ext == ".bt":
+                    nn = write_voxelgrid_bt(p, occ, g.origin, g.resolution)
+                else:
+                    idx = np.argwhere(occ)
+                    col = np.asarray(g.color)[idx[:, 0], idx[:, 1],
+                                              idx[:, 2]]
+                    nn = write_ot(
+                        p,
+                        g.origin[0] + (idx[:, 0] + 0.5) * g.resolution,
+                        g.origin[1] + (idx[:, 1] + 0.5) * g.resolution,
+                        g.origin[2] + (idx[:, 2] + 0.5) * g.resolution,
+                        col, g.resolution)
                 written.append(p)
                 print(f"octomap {name} ({nn} nodes) -> {p}")
             print(f"voxel pyramid (road {n_road} / obstacle {n_obs} "
@@ -617,8 +632,9 @@ def main(argv=None):
     rp.add_argument("--save-heatmap", help="write elevation heatmap PNG")
     rp.add_argument("--save-octomap",
                     help="write the octomap export: road/obstacle voxel "
-                         "pyramid npz, or — with a .bt extension — binary "
-                         "octomap files any octomap consumer can read")
+                         "pyramid npz, or — with a .bt / .ot extension — "
+                         "binary octomap / ColorOcTree files any octomap "
+                         "consumer can read")
     rp.add_argument("--publish-submaps",
                     help="write SubMapRecord npz files to dir (the dislam "
                          "SubMap publication)")

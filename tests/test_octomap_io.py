@@ -114,3 +114,52 @@ def test_bt_header_reserved_first_line(tmp_path):
         bad = str(tmp_path / "bad.bt")
         open(bad, "w").write("not an octree\n")
         read_bt(bad)
+
+
+def test_ot_roundtrip_with_colors(tmp_path):
+    from gem_tpu.global_map.octomap_io import read_ot, write_ot
+
+    rng = np.random.default_rng(4)
+    res = 0.25
+    n = 500
+    xs = rng.uniform(-10, 10, n)
+    ys = rng.uniform(-10, 10, n)
+    zs = rng.uniform(-2, 2, n)
+    colors = rng.integers(0, 1 << 24, n)
+    p = str(tmp_path / "map.ot")
+    n_nodes = write_ot(p, xs, ys, zs, colors, res)
+    res2, keys, cols, header = read_ot(p)
+    assert res2 == res
+    assert header["id"] == "ColorOcTree"
+    assert header["size"] == n_nodes
+    want = np.unique(coords_to_keys(xs, ys, zs, res), axis=0)
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    got = keys[order]
+    worder = np.lexsort((want[:, 2], want[:, 1], want[:, 0]))
+    assert np.array_equal(got, want[worder])
+    # colors round-trip: single-point voxels keep their exact color
+    # (multi-point voxels carry the mean)
+    assert (cols >= 0).all() and (cols < (1 << 24)).all()
+    first = open(p, "rb").readline().decode().strip()
+    assert first == "# Octomap OcTree file"
+
+
+def test_ot_single_voxel_color_exact(tmp_path):
+    from gem_tpu.global_map.octomap_io import read_ot, write_ot
+
+    p = str(tmp_path / "one.ot")
+    write_ot(p, np.array([1.05]), np.array([2.05]), np.array([0.05]),
+             np.array([0xAABBCC]), 0.1)
+    _, keys, cols, _ = read_ot(p)
+    assert keys.shape[0] == 1
+    assert int(cols[0]) == 0xAABBCC
+
+
+def test_ot_empty(tmp_path):
+    from gem_tpu.global_map.octomap_io import read_ot, write_ot
+
+    p = str(tmp_path / "none.ot")
+    write_ot(p, np.zeros(0), np.zeros(0), np.zeros(0), np.zeros(0, int),
+             0.1)
+    _, keys, cols, header = read_ot(p)
+    assert keys.shape[0] == 0 and header["size"] == 0
