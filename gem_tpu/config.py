@@ -286,6 +286,16 @@ def validate_config(cfg: "PipelineConfig") -> None:
     if cfg.sensor.model not in ("laser", "structured_light", "stereo",
                                 "perfect"):
         raise ValueError(f"unknown sensor model {cfg.sensor.model!r}")
+    p = cfg.map.raytrace_far_pool
+    if p < 0:
+        raise ValueError("map.raytrace_far_pool must be >= 0 (0 = auto)")
+    if p > 1 and cfg.map.length // p < 64:
+        raise ValueError(
+            f"map.raytrace_far_pool={p} leaves a {cfg.map.length // p}^2 "
+            "pooled constraint grid — below 64^2 the pooled granule spans "
+            "a large fraction of the map radius and cleanup efficacy "
+            "collapses (measured: 21% of deletions lost at 32^2-equivalent "
+            "granularity). Use a smaller pool or 0 (auto).")
 
 
 # ---------------------------------------------------------------------------
