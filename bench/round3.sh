@@ -41,6 +41,9 @@ run_phase ray_pool4 '{"name":"ray_pool4","phase":"raytrace","far_pool":4}' 2400
 #    far_pool default(2) vs exact(1)
 run_phase step_hz_p2 '{"name":"step_hz_p2","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000
 run_phase step_hz_p1 '{"name":"step_hz_p1","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"far_pool":1,"k_lo":4,"k_hi":24,"trials":3}' 3000
+# the Hz row is raytrace-bound: sweep the pool further (sorts shrink p^2)
+run_phase step_hz_p3 '{"name":"step_hz_p3","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"far_pool":3,"k_lo":4,"k_hi":24,"trials":3}' 3000
+run_phase step_hz_p4 '{"name":"step_hz_p4","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"far_pool":4,"k_lo":4,"k_hi":24,"trials":3}' 3000
 run_phase step_1m_p2 '{"name":"step_1m_p2","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000
 
 # 3b. fuse-kernel A/B: gather pass-A variant and CHUNK=1024 at 1M

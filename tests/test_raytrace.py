@@ -163,6 +163,42 @@ def test_far_pool_conservative_and_agrees():
     assert missed <= 0.1 * del_e.sum(), (missed, del_e.sum())
 
 
+def test_far_pool_deep_agrees_with_exact():
+    """p=3 and p=4 vs the exact path at L=256 (the smallest length whose
+    pooled grids pass validate_config's 64^2 floor — at the flagship
+    L=1000 the granule is relatively FINER than it is here, so these
+    bounds are conservative for the operating point that matters).  Same
+    near-subset + agreement contract as the p=2 test."""
+    import pytest
+
+    L = 256
+    base = dict(length=L, resolution=0.2, raytrace_num_rays=256)
+    rng = np.random.default_rng(7)
+    elev = rng.normal(0.0, 0.2, (L, L)).astype(np.float32)
+    lowest = rng.normal(-0.2, 0.3, (L, L)).astype(np.float32)
+    lowest[rng.random((L, L)) < 0.3] = 10.0
+    obs = rng.random((L, L)) < 0.06
+    elev[obs] += rng.uniform(1.5, 3.0, obs.sum())
+    traver = np.where(obs, 0.1, 1.0).astype(np.float32)
+
+    cfg_exact = MapConfig(**base, raytrace_far_pool=1)
+    state = _mkstate(cfg_exact, elev, lowest, sensor_z=1.2, start=(23, 9))
+    out_e = raytrace_cleanup(state, cfg_exact, jnp.asarray(traver))
+    del_e = np.asarray(out_e.elevation) == cfg_exact.invalid_elevation
+    assert del_e.sum() > 50
+
+    for p in (3, 4):
+        cfg_pool = MapConfig(**base, raytrace_far_pool=p)
+        if L // p < 64:     # guard: the test premise is a VALID config
+            pytest.fail(f"p={p} at L={L} should pass the 64^2 floor")
+        out_p = raytrace_cleanup(state, cfg_pool, jnp.asarray(traver))
+        del_p = np.asarray(out_p.elevation) == cfg_pool.invalid_elevation
+        extra = (del_p & ~del_e).sum()
+        missed = (del_e & ~del_p).sum()
+        assert extra <= 0.02 * del_e.sum(), (p, extra, del_e.sum())
+        assert missed <= 0.15 * del_e.sum(), (p, missed, del_e.sum())
+
+
 def test_far_pool_far_phantom_deleted():
     """A far-field phantom wall (beyond the near block) with ground seen
     well behind it must still be deleted with pooling on."""
