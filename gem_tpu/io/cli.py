@@ -254,6 +254,38 @@ def cmd_run(args):
         write_png(args.save_heatmap, img)
         print(f"elevation heatmap -> {args.save_heatmap}")
 
+    if args.save_costmap:
+        # the reference's doc/costmap.png analogue: traversability ->
+        # costmap_2d cost values -> InflationLayer -> colored PNG
+        from gem_tpu.render.products import (FREE_SPACE, INSCRIBED_INFLATED,
+                                             LETHAL_OBSTACLE, NO_INFORMATION,
+                                             costmap_from_traversability,
+                                             inflate_costmap)
+        from gem_tpu.utils.image import write_png
+
+        traver = pipe.last_outputs.features.traver if pipe.last_outputs \
+            else jnp.full((cfg.map.length, cfg.map.length), -10.0)
+        cm = costmap_from_traversability(
+            traver, cfg.traversability_threshold, start=pipe.state.map.start)
+        r_cells = args.inflation_radius / cfg.map.resolution
+        cm = np.asarray(inflate_costmap(
+            cm, r_cells, cost_scaling_factor=args.cost_scaling,
+            resolution=cfg.map.resolution,
+            inscribed_radius=cfg.map.resolution))
+        img = np.zeros(cm.shape + (3,), np.uint8)
+        img[cm == NO_INFORMATION] = (70, 70, 70)
+        img[cm == FREE_SPACE] = (255, 255, 255)
+        ramp = (cm > FREE_SPACE) & (cm < INSCRIBED_INFLATED)
+        t = cm[ramp].astype(np.float32) / INSCRIBED_INFLATED
+        img[ramp] = np.stack([np.full_like(t, 255.0),
+                              230.0 * (1.0 - t), np.zeros_like(t)],
+                             axis=-1).astype(np.uint8)
+        img[cm == INSCRIBED_INFLATED] = (255, 0, 0)
+        img[cm == LETHAL_OBSTACLE] = (40, 0, 60)
+        write_png(args.save_costmap, img)
+        n_lethal = int((cm == LETHAL_OBSTACLE).sum())
+        print(f"costmap ({n_lethal} lethal cells) -> {args.save_costmap}")
+
     if args.save_octomap:
         from gem_tpu.global_map.pyramid import build_pyramid
 
@@ -594,6 +626,13 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p):
+        p.add_argument("--platform", default="auto",
+                       choices=["auto", "cpu"],
+                       help="force the jax platform; 'cpu' never touches "
+                            "the TPU client — the ONLY reliable way to run "
+                            "CPU-side on a TPU host whose runtime "
+                            "force-registers an accelerator plugin "
+                            "(JAX_PLATFORMS is overridden there)")
         p.add_argument("--config", help="yaml config file")
         p.add_argument("--preset", default="kitti",
                        choices=["kitti", "yq", "benchmark", "default"])
@@ -630,6 +669,13 @@ def main(argv=None):
                          "surface upsample; the dense_mapping signal)")
     rp.add_argument("--save-ortho", help="write orthomosaic PNG")
     rp.add_argument("--save-heatmap", help="write elevation heatmap PNG")
+    rp.add_argument("--save-costmap",
+                    help="write inflated costmap PNG (InflationLayer "
+                         "semantics, doc/costmap.png analogue)")
+    rp.add_argument("--inflation-radius", type=float, default=0.55,
+                    help="costmap inflation radius in meters")
+    rp.add_argument("--cost-scaling", type=float, default=5.0,
+                    help="InflationLayer cost_scaling_factor (1/m)")
     rp.add_argument("--save-octomap",
                     help="write the octomap export: road/obstacle voxel "
                          "pyramid npz, or — with a .bt / .ot extension — "
@@ -694,6 +740,10 @@ def main(argv=None):
     ip.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    if getattr(args, "platform", "auto") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 
