@@ -57,6 +57,11 @@ run_phase step_1m_p2 '{"name":"step_1m_p2","phase":"step","fuse":"stream","featu
 run_phase step_1m_passa_gather '{"name":"step_1m_passa_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_PASSA=gather
 run_phase step_hz_passa_gather '{"name":"step_hz_passa_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_PASSA=gather
 run_phase step_1m_chunk1024 '{"name":"step_1m_chunk1024","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_CHUNK=1024
+# 2c. color argmin via segmented lane scan (removes the kernel's N*TILE
+#     min-sweep term — the dominant cost for fully-colored frames)
+run_phase step_1m_color_scan '{"name":"step_1m_color_scan","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan
+run_phase step_hz_color_scan '{"name":"step_hz_color_scan","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_COLOR=scan
+run_phase step_1m_scan_gather '{"name":"step_1m_scan_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan GEM_FUSE_PASSA=gather
 
 # 3. headline harness (writes BENCH_DETAIL.json; cache now warm)
 if [ "$(left)" -gt 300 ]; then

@@ -98,6 +98,15 @@ _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
 # removes the second one-hot build + dot entirely IF Mosaic lowers the
 # sublane gather (A/B on real TPU; interpret-mode tests cover semantics)
 _PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
+# color argmin-v mechanism: "sweep" = dense (CHUNK, TILE) masked min sweep
+# (round-2 baseline; O(CHUNK*TILE) VPU work per chunk — the dominant kernel
+# cost for fully-colored frames); "scan" = segmented lane scan: points in a
+# chunk are CELL-CONTIGUOUS (the stream is sorted), so a log2(CHUNK)-step
+# rolled min-scan reduces each in-chunk segment, the segment-end lane holds
+# the cell's (v, color, intensity) winner, and placement rides the existing
+# pass-B2 MXU dot as 4 extra sum columns (<=1 contributing lane per cell) —
+# O(CHUNK log CHUNK) total, removing the N*TILE term entirely
+_COLOR = _os.environ.get("GEM_FUSE_COLOR", "sweep")
 
 
 def _cdiv(a, b):
@@ -244,21 +253,78 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             colf = p[5:6, :]
             hc = p[6:7, :]
             oc = argout * hc
-            b2 = jnp.transpose(jnp.concatenate(
-                [inl_f * w, inl_f * w * h, argout,
-                 oc, oc * v, oc * colf, oc * inten, low_c], axis=0))  # (C, 8)
+            cols = [inl_f * w, inl_f * w * h, argout,
+                    oc, oc * v, oc * colf, oc * inten, low_c]
+            if _COLOR == "scan":
+                # segmented (per-cell) min over the chunk row: cells are
+                # contiguous in the sorted stream, so a rolled log-scan
+                # reduces each in-chunk segment.  Combine is lexicographic:
+                # min v; at an exact v tie, independent min of color and
+                # intensity (identical to the sweep's tie set semantics).
+                contrib = (inl_f * hc) > 0.5
+                vrow = jnp.where(contrib, v, _INF)
+                crow = jnp.where(contrib, colf, _INF)
+                irow = jnp.where(contrib, inten, _INF)
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                kk = 1
+                while kk < CHUNK:
+                    same = ((pltpu.roll(cl_i, kk, 1) == cl_i)
+                            & (lane1 >= kk))
+                    pv = jnp.where(same, pltpu.roll(vrow, kk, 1), _INF)
+                    pc = jnp.where(same, pltpu.roll(crow, kk, 1), _INF)
+                    pi = jnp.where(same, pltpu.roll(irow, kk, 1), _INF)
+                    lt = pv < vrow
+                    eqv = pv == vrow
+                    crow = jnp.where(
+                        lt, pc, jnp.where(eqv, jnp.minimum(crow, pc), crow))
+                    irow = jnp.where(
+                        lt, pi, jnp.where(eqv, jnp.minimum(irow, pi), irow))
+                    vrow = jnp.minimum(vrow, pv)
+                    kk *= 2
+                # segment-end lane (next lane = different cell) now holds
+                # the full in-chunk reduction; <=1 such lane per cell, so
+                # plain sums through the one-hot dot place it (jnp.where,
+                # not *, keeps 0*inf NaNs out of the dot)
+                is_last = ((pltpu.roll(cl_i, CHUNK - 1, 1) != cl_i)
+                           | (lane1 == CHUNK - 1))
+                fin = is_last & (vrow < _INF)
+                cols += [fin.astype(jnp.float32),
+                         jnp.where(fin, vrow, 0.0),
+                         jnp.where(fin, crow, 0.0),
+                         jnp.where(fin, irow, 0.0)]
+            b2 = jnp.transpose(jnp.concatenate(cols, axis=0))  # (C, 8|12)
         else:
             b2 = jnp.transpose(jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
                 axis=0))
         if "nomm" in _ABLATE:
-            s2 = jnp.broadcast_to(jnp.sum(b2, axis=0)[:, None], (8, TILE))
+            s2 = jnp.broadcast_to(jnp.sum(b2, axis=0)[:, None],
+                                  (b2.shape[1], TILE))
         else:
             s2 = jax.lax.dot_general(b2, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        stats_ref[4:12, :] += s2
+        stats_ref[4:12, :] += s2[0:8, :]
 
-        if with_color:
+        def combine_vc(vc_chunk, col_chunk, int_chunk):
+            vc_old = stats_ref[12, :]
+            lt = vc_chunk < vc_old
+            eq = vc_chunk == vc_old
+            pay_old = stats_ref[13:15, :]
+            pay_chunk = jnp.stack([col_chunk, int_chunk])
+            stats_ref[13:15, :] = jnp.where(
+                lt[None, :], pay_chunk,
+                jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
+                          pay_old))
+            stats_ref[12, :] = jnp.minimum(vc_old, vc_chunk)
+
+        if with_color and _COLOR == "scan":
+            # decode the summed placement columns; all-zero (no colored
+            # inlier whose segment ends here) decodes to +inf = no-op
+            has = s2[8, :] > 0.0
+            combine_vc(jnp.where(has, s2[9, :], _INF),
+                       jnp.where(has, s2[10, :], _INF),
+                       jnp.where(has, s2[11, :], _INF))
+        elif with_color:
             # colorless chunks (common for camera-less LiDAR) skip the
             # color statistics entirely — one scalar test per chunk
             @pl.when(jnp.sum(hc) > 0.0)
@@ -275,16 +341,7 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
                 int_chunk = jnp.min(jnp.where(
                     tie, jnp.broadcast_to(jnp.transpose(inten),
                                           (CHUNK, TILE)), _INF), axis=0)
-                vc_old = stats_ref[12, :]
-                lt = vc_chunk < vc_old
-                eq = vc_chunk == vc_old
-                pay_old = stats_ref[13:15, :]
-                pay_chunk = jnp.stack([col_chunk, int_chunk])
-                stats_ref[13:15, :] = jnp.where(
-                    lt[None, :], pay_chunk,
-                    jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
-                              pay_old))
-                stats_ref[12, :] = jnp.minimum(vc_old, vc_chunk)
+                combine_vc(vc_chunk, col_chunk, int_chunk)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)

@@ -166,6 +166,45 @@ def test_step_stream_matches_segment_end_to_end():
                                np.asarray(sb.map.lowest), atol=1e-5)
 
 
+@pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
+                                                 (2, 1.0, 0.5)])
+def test_stream_color_scan_matches_segment(monkeypatch, seed, occ,
+                                           valid_frac):
+    """GEM_FUSE_COLOR=scan variant: the segmented rolled min-scan color
+    reduction (O(CHUNK log CHUNK)) must match the dense sweep's semantics —
+    min-v inlier color with independent payload min at exact v ties."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_COLOR", "scan")
+    rng = np.random.default_rng(seed)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, occ)
+    batch = _random_batch(rng, L, 2048, valid_frac)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_color_scan_one_cell(monkeypatch):
+    """Scan variant under worst-case skew: one cell spans many chunks, so
+    cross-chunk partial-min combining (incl. exact-tie payload union) is
+    exercised."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_COLOR", "scan")
+    rng = np.random.default_rng(3)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.95, one_cell=L * L // 2)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b, atol=5e-5)
+
+
 def test_stream_colorless_mode():
     """with_color=False: elevation/variance identical to the full path on a
     colorless batch; color/intensity planes pass through untouched."""
