@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from gem_tpu.config import PipelineConfig
-from gem_tpu.core.move import MoveInfo, ShedCells, move, re_anchor
+from gem_tpu.core.move import ShedCells, move, re_anchor
 from gem_tpu.core.state import MapState, init_map_state
 from gem_tpu.global_map import submaps as sm
 from gem_tpu.kernels.features import FeatureMaps, compute_features
@@ -126,15 +126,24 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
     jump_odom = jump_odom & ~finish
 
     # --- window relocation -------------------------------------------------
-    moved, info = move(state.map, cfg.map, track)
-    anchored = re_anchor(state.map, cfg.map, track,
-                         track[2] - state.last_track_z)
-    anchored = anchored.replace(sensor_z=track[2])
+    # lax.cond, not a where-select: only the taken branch executes, so the
+    # common no-jump frame never pays re_anchor's plane rewrite nor a
+    # 8-plane merge select (under fleet vmap this batches back to a select,
+    # i.e. exactly the old behavior).
     use_jump = jump_odom
-    map_state = jax.tree.map(
-        lambda a, b: jnp.where(use_jump, a, b), anchored, moved)
-    shed = jax.tree.map(lambda e, s: jnp.where(use_jump, e, s),
-                        _empty_shed(cfg), info.shed)
+
+    def _jump_branch(ms):
+        anchored = re_anchor(ms, cfg.map, track,
+                             track[2] - state.last_track_z)
+        return (anchored.replace(sensor_z=track[2]), _empty_shed(cfg),
+                jnp.zeros((2,), jnp.int32))
+
+    def _move_branch(ms):
+        moved, info = move(ms, cfg.map, track)
+        return moved, info.shed, info.index_shift
+
+    map_state, shed, index_shift = jax.lax.cond(
+        use_jump, _jump_branch, _move_branch, state.map)
 
     # --- point processing ----------------------------------------------------
     sensor_jac, c_sb_t, p_bm_t, b_skew = jacobian_ingredients(
@@ -264,7 +273,7 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
         "cells_fused": jnp.sum(map_state.elevation
                                != cfg.map.invalid_elevation),
         "shed_count": jnp.sum(shed.valid),
-        "index_shift": info.index_shift,
+        "index_shift": index_shift,
         "var_update": var_update,
     }
     outputs = StepOutputs(features=feats, shed=shed,
