@@ -281,19 +281,21 @@ def raytrace_cleanup(state: MapState, cfg: MapConfig, traver) -> MapState:
     block = jnp.minimum(min_g[blo:bhi, blo:bhi], near_vals)
     min_g = min_g.at[blo:bhi, blo:bhi].set(block)
 
-    # --- deletion test in geographic space ----------------------------------
-    roll_geo = lambda p: jnp.roll(p, shift=(-state.start[0], -state.start[1]),
+    # --- deletion test in STORAGE space -------------------------------------
+    # two dynamic rolls (min_g, d -> storage) instead of four (elevation/
+    # variance/traver -> geographic + the delete mask back): elevation,
+    # variance and traver are read storage-indexed in place and no result
+    # roll is needed
+    roll_sto = lambda p: jnp.roll(p, shift=(state.start[0], state.start[1]),
                                   axis=(0, 1))
-    elev_g = roll_geo(state.elevation)
-    var_g = roll_geo(state.variance)
-    traver_g = roll_geo(traver)
-    bound = state.sensor_z + d * min_g
-    obstacle = (traver_g < cfg.obstacle_threshold) \
-        & (elev_g != cfg.invalid_elevation) & (d > 0.0)
-    delete_g = obstacle & jnp.isfinite(min_g) & (
-        elev_g - 3.0 * jnp.sqrt(jnp.maximum(var_g, 0.0)) > bound)
-    delete = jnp.roll(delete_g, shift=(state.start[0], state.start[1]),
-                      axis=(0, 1))
+    min_g_s = roll_sto(min_g)
+    d_s = roll_sto(d)
+    bound = state.sensor_z + d_s * min_g_s
+    obstacle = (traver < cfg.obstacle_threshold) \
+        & (state.elevation != cfg.invalid_elevation) & (d_s > 0.0)
+    delete = obstacle & jnp.isfinite(min_g_s) & (
+        state.elevation - 3.0 * jnp.sqrt(jnp.maximum(state.variance, 0.0))
+        > bound)
 
     return state.replace(
         elevation=jnp.where(delete, cfg.invalid_elevation, state.elevation),
