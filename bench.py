@@ -281,6 +281,20 @@ def main():
             detail["map_update_hz_ref_cadence"] = 1e3 / ms
             state["hz_ref"] = 1e3 / ms
 
+        # genuinely colored 1M frame (synthetic colors on every valid
+        # lane): the strict camera row above carries the color MACHINERY
+        # but a colorless stream (like the reference's fake_image mode);
+        # real camera replay (KITTI colorized) pays the color statistics
+        # on every chunk — this row measures that.
+        row = run_phase("step_tp_colored", dict(
+            step_common, points=tp_points, colored=1,
+            k_lo=2, k_hi=12, trials=3))
+        if row and row.get("per_program_ms"):
+            ms = row["per_program_ms"]
+            detail["step_ms_at_%dM_pts_colored"
+                   % max(tp_points // (1 << 20), 1)] = ms
+            detail["points_per_sec_colored"] = tp_points / (ms * 1e-3)
+
         row = run_phase("scan_tp", dict(
             step_common, phase="scan", points=tp_points,
             n_frames=4 if quick else 8))

@@ -519,9 +519,27 @@ def _make_step_inputs(spec):
         raytrace_every=spec.get("raytrace_every", 1),
     )
     frames = []
+    rng = None
     for frame, _, _ in synthetic_frames(cfg, spec.get("n_frames", 8),
                                         n_points=n_points, speed=0.4, seed=0,
                                         max_range=length * 0.05):
+        if spec.get("colored"):
+            # synthetic_frames yields colors=0, which makes "camera path
+            # on" rows exercise only the color MACHINERY (the kernels'
+            # colorless-chunk skips fire on every chunk).  A real camera
+            # stream colors most points; fill valid lanes with nonzero
+            # rgb so colored-path phases measure the actual work.
+            import dataclasses as _dc
+
+            import numpy as _np
+
+            rng = rng or _np.random.default_rng(7)
+            packed = (rng.integers(1, 256, n_points) * 65536
+                      + rng.integers(1, 256, n_points) * 256
+                      + rng.integers(1, 256, n_points)).astype(_np.int32)
+            col = _np.zeros(frame.colors.shape, _np.int32)
+            col[:n_points] = packed
+            frame = _dc.replace(frame, colors=col)
         frames.append(jax.device_put(frame))
     state = jax.device_put(init_pipeline_state(cfg))
     return cfg, state, frames

@@ -57,11 +57,20 @@ run_phase step_1m_p2 '{"name":"step_1m_p2","phase":"step","fuse":"stream","featu
 run_phase step_1m_passa_gather '{"name":"step_1m_passa_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_PASSA=gather
 run_phase step_hz_passa_gather '{"name":"step_hz_passa_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_PASSA=gather
 run_phase step_1m_chunk1024 '{"name":"step_1m_chunk1024","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_CHUNK=1024
-# 2c. color argmin via segmented lane scan (removes the kernel's N*TILE
-#     min-sweep term — the dominant cost for fully-colored frames)
-run_phase step_1m_color_scan '{"name":"step_1m_color_scan","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan
-run_phase step_hz_color_scan '{"name":"step_hz_color_scan","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_COLOR=scan
-run_phase step_1m_scan_gather '{"name":"step_1m_scan_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan GEM_FUSE_PASSA=gather
+# 2c. color argmin A/B on GENUINELY COLORED frames ("colored":1 fills
+#     valid lanes with nonzero rgb — synthetic frames are otherwise
+#     colorless, so the kernels' colorless-chunk skips fire everywhere and
+#     a sweep-vs-scan A/B would compare two no-ops).  The scan removes the
+#     sweep's N*TILE VPU term — the dominant kernel cost for real camera
+#     streams (KITTI colorized replay).
+run_phase step_1m_colored '{"name":"step_1m_colored","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"colored":1,"k_lo":2,"k_hi":12,"trials":3}' 3000
+run_phase step_1m_color_scan '{"name":"step_1m_color_scan","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"colored":1,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan
+run_phase step_hz_colored '{"name":"step_hz_colored","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"colored":1,"k_lo":4,"k_hi":24,"trials":3}' 3000
+run_phase step_hz_color_scan '{"name":"step_hz_color_scan","phase":"step","fuse":"stream","feature_backend":"pallas","points":131072,"n_frames":2,"colored":1,"k_lo":4,"k_hi":24,"trials":3}' 3000 GEM_FUSE_COLOR=scan
+run_phase step_1m_scan_gather '{"name":"step_1m_scan_gather","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"colored":1,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan GEM_FUSE_PASSA=gather
+# scan cost on colorless frames (it drops the per-chunk skip — must not
+# regress the LiDAR-only rows if it becomes the default)
+run_phase step_1m_scan_nocolor '{"name":"step_1m_scan_nocolor","phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3}' 3000 GEM_FUSE_COLOR=scan
 
 # 3. headline harness (writes BENCH_DETAIL.json; cache now warm)
 if [ "$(left)" -gt 300 ]; then

@@ -22,12 +22,15 @@ BASELINES = {
     "step_hz_p3": "step_hz_p2",
     "step_hz_p4": "step_hz_p2",
     "step_hz_passa_gather": "step_hz_p2",
-    "step_hz_color_scan": "step_hz_p2",
+    "step_hz_color_scan": "step_hz_colored",
+    "step_hz_colored": "step_hz_p2",
     "step_hz_tile2048": "step_hz_p2",
     "step_1m_passa_gather": "step_1m_p2",
     "step_1m_chunk1024": "step_1m_p2",
-    "step_1m_color_scan": "step_1m_p2",
-    "step_1m_scan_gather": "step_1m_p2",
+    "step_1m_colored": "step_1m_p2",
+    "step_1m_color_scan": "step_1m_colored",
+    "step_1m_scan_gather": "step_1m_colored",
+    "step_1m_scan_nocolor": "step_1m_p2",
     "ray_pool1": "ray_pool2",
     "ray_pool3": "ray_pool2",
     "ray_pool4": "ray_pool2",
