@@ -205,6 +205,48 @@ def test_stream_color_scan_one_cell(monkeypatch):
     _compare(a, b, atol=5e-5)
 
 
+@pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
+                                                 (1, 0.0, 1.0),
+                                                 (2, 1.0, 0.5)])
+def test_stream_passa_gather_matches_segment(monkeypatch, seed, occ,
+                                             valid_frac):
+    """GEM_FUSE_PASSA=gather variant: the per-point VMEM take_along_axis
+    anchor must reproduce the one-hot-dot pass-A exactly — same prior
+    reads, same empty/overwrite/Kalman gating (interpret mode; the on-chip
+    Mosaic lowering is A/B'd by bench/round3.sh)."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "gather")
+    rng = np.random.default_rng(seed)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, occ)
+    batch = _random_batch(rng, L, 2048, valid_frac)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_passa_gather_one_cell_with_scan(monkeypatch):
+    """gather pass-A combined with the scan color path under worst-case
+    skew (the round3 step_1m_scan_gather configuration): clamped
+    out-of-tile gather rows must stay inert across many chunks."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "gather")
+    monkeypatch.setattr(fs, "_COLOR", "scan")
+    rng = np.random.default_rng(3)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.95, one_cell=L * L // 2)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b, atol=5e-5)
+
+
 def test_stream_colorless_mode():
     """with_color=False: elevation/variance identical to the full path on a
     colorless batch; color/intensity planes pass through untouched."""
