@@ -21,10 +21,31 @@ left() { echo $(( BUDGET - ($(date +%s) - T0) )); }
 
 log() { echo "[round3 $(date +%H:%M:%S)] $*" | tee -a "$OUT/run.log"; }
 
+# TPU lock: the driver's end-of-round `bench.py` preempts this run via
+# SIGTERM to the PID in this file (two TPU-attached processes poison each
+# other's timings, CLAUDE.md).  Every chip-touching child runs in the
+# background + `wait` so the TERM trap fires immediately and can kill it.
+LOCK=/tmp/gem_round3.pid
+echo $$ > "$LOCK"
+export GEM_ROUND3_SELF=1   # our own bench.py phases must not preempt us
+CHILD=
+cleanup() { [ -n "$CHILD" ] && kill "$CHILD" 2>/dev/null; rm -f "$LOCK"; }
+trap 'log "preempted (SIGTERM — yielding the TPU)"; cleanup; exit 143' TERM INT
+trap cleanup EXIT
+
+run_tpu() {  # run a chip-touching command preemptibly
+  "$@" &
+  CHILD=$!
+  wait "$CHILD"
+  local rc=$?
+  CHILD=
+  return $rc
+}
+
 # 0. relay health: a trivial program with a value fetch must finish fast
 log "health probe (budget ${BUDGET}s)"
-if ! timeout 300 python bench/probe.py worker '{"name":"nop","phase":"nop"}' \
-     > "$OUT/nop.txt" 2>&1; then
+if ! run_tpu timeout 300 python bench/probe.py worker \
+     '{"name":"nop","phase":"nop"}' > "$OUT/nop.txt" 2>&1; then
   log "relay unhealthy (nop probe timed out) — aborting"
   exit 1
 fi
@@ -38,7 +59,10 @@ run_phase() {  # name spec timeout [env...]
   [ "$to" -gt "$l" ] && to=$l
   log "phase $name timeout=${to}s left=${l}s $*"
   env "$@" timeout "$to" python bench/probe.py worker "$spec" \
-    > "$OUT/$name.txt" 2>&1
+    > "$OUT/$name.txt" 2>&1 &
+  CHILD=$!
+  wait "$CHILD"
+  CHILD=
   grep PROBE_RESULT "$OUT/$name.txt" | tail -1 | tee -a "$OUT/run.log"
 }
 
@@ -76,15 +100,15 @@ run_phase step_1m_scan_nocolor '{"name":"step_1m_scan_nocolor","phase":"step","f
 if [ "$(left)" -gt 300 ]; then
   log "bench.py --full"
   GEM_BENCH_BUDGET_S=$(( $(left) > 2400 ? 2400 : $(left) )) \
-    timeout $(( $(left) > 2500 ? 2500 : $(left) )) python bench.py --full \
-    > "$OUT/bench_full.json" 2> "$OUT/bench_full.err"
+    run_tpu timeout $(( $(left) > 2500 ? 2500 : $(left) )) python bench.py \
+    --full > "$OUT/bench_full.json" 2> "$OUT/bench_full.err"
   tail -1 "$OUT/bench_full.json" | tee -a "$OUT/run.log"
 fi
 
 # 4. accuracy on the production backend, on-chip
 if [ "$(left)" -gt 600 ]; then
   log "accuracy (stream + segment on-chip)"
-  timeout $(( $(left) > 3600 ? 3600 : $(left) )) \
+  run_tpu timeout $(( $(left) > 3600 ? 3600 : $(left) )) \
     python bench/accuracy.py --backends stream,segment \
     > "$OUT/accuracy.txt" 2>&1
   tail -20 "$OUT/accuracy.txt" | tee -a "$OUT/run.log"
@@ -93,7 +117,7 @@ fi
 # 5. backend shoot-out -> FUSE_CALIBRATION regen (same run as BENCH_KERNELS)
 if [ "$(left)" -gt 600 ]; then
   log "kernels.py shoot-out"
-  timeout $(( $(left) > 7200 ? 7200 : $(left) )) \
+  run_tpu timeout $(( $(left) > 7200 ? 7200 : $(left) )) \
     python bench/kernels.py --backends stream,segment --no-ablate \
     > "$OUT/kernels.txt" 2>&1
   tail -5 "$OUT/kernels.txt" | tee -a "$OUT/run.log"
@@ -111,7 +135,7 @@ run_phase step_hz_tile2048 '{"name":"step_hz_tile2048","phase":"step","fuse":"st
 # 6b. device trace of the strict step for the round-3 op breakdown
 if [ "$(left)" -gt 600 ]; then
   log "profiler trace (strict step, benchmark preset)"
-  timeout $(( $(left) > 2400 ? 2400 : $(left) )) \
+  run_tpu timeout $(( $(left) > 2400 ? 2400 : $(left) )) \
     python -m gem_tpu run --preset benchmark --frames 10 \
     --max-points 1048576 --profile "$OUT/trace" \
     > "$OUT/trace_run.txt" 2>&1 && log "trace captured"
@@ -119,11 +143,13 @@ fi
 
 # 7. driver-artifact rehearsal: exactly what the driver runs
 log "bench.py rehearsal (default budget)"
-timeout 600 python bench.py --detail-out "$OUT/bench_default_detail.json" \
+run_tpu timeout 600 python bench.py \
+  --detail-out "$OUT/bench_default_detail.json" \
   > "$OUT/bench_default.json" 2> "$OUT/bench_default.err"
 tail -1 "$OUT/bench_default.json" | tee -a "$OUT/run.log"
 log "dryrun_multichip rehearsal"
-timeout 600 python -c 'import __graft_entry__ as g; g.dryrun_multichip(8)' \
+run_tpu timeout 600 python -c \
+  'import __graft_entry__ as g; g.dryrun_multichip(8)' \
   > "$OUT/dryrun.txt" 2>&1 && tail -1 "$OUT/dryrun.txt" | tee -a "$OUT/run.log"
 
 log "done"
