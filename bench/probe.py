@@ -476,7 +476,8 @@ def phase_fusekernel(spec):
             colors=frame.colors, compute_lowest=False)
         out = fuse_stream(map_state, cfg, batch,
                           with_lowest=spec.get("lowest", True),
-                          with_color=spec.get("color", True))
+                          with_color=spec.get("color", True),
+                          interpret=bool(spec.get("interpret")))
         return out
 
     ms0 = state.map
