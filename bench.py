@@ -148,6 +148,8 @@ def main():
                 out["partial_reason"] = reason
         if detail.get("relay_precheck_failed"):
             out["relay_precheck_failed"] = True
+        if detail.get("round3_preempt_timeout"):
+            out["tpu_contention"] = True
         detail["partial"] = partial
         detail["wall_total_s"] = round(time.time() - t_start, 1)
         try:
@@ -211,28 +213,45 @@ def main():
                 r3_pid = int(f.read().strip())
         except (OSError, ValueError):
             r3_pid = 0
-        preempted = False
-        if r3_pid:
+
+        def _is_round3(pid: int) -> bool:
+            # PID-reuse guard: only signal a process that really is
+            # round3.sh (a stale lock must never kill a bystander)
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    return b"round3.sh" in f.read()
+            except OSError:
+                return False
+
+        if r3_pid and _is_round3(r3_pid):
             try:
                 os.kill(r3_pid, signal.SIGTERM)
-                preempted = True
-            except ProcessLookupError:
-                pass            # stale lock
             except OSError:
                 pass
-        if preempted:
             print(f"bench.py: preempting round3.sh (pid {r3_pid}); "
                   "waiting for it to yield the TPU", file=sys.stderr,
                   flush=True)
             t_wait = time.time()
+            alive = True
             while time.time() - t_wait < 90:
-                try:
-                    os.kill(r3_pid, 0)
-                except OSError:
+                alive = _is_round3(r3_pid)
+                if not alive:
                     break
                 time.sleep(2)
             detail["preempted_round3"] = True
             detail["round3_yield_s"] = round(time.time() - t_wait, 1)
+            if alive:
+                # it never yielded — a chip-attached process is still out
+                # there, so every number below is suspect (CLAUDE.md)
+                detail["round3_preempt_timeout"] = True
+                print("bench.py: round3.sh did NOT yield within 90s — "
+                      "timings below may be contended", file=sys.stderr,
+                      flush=True)
+        else:
+            try:                     # stale lock (dead or recycled PID)
+                os.unlink(r3_lock)
+            except OSError:
+                pass
 
     # --- control-matmul precheck (relay health, CLAUDE.md timing rule) ----
     # Runs FIRST so every emitted headline carries a health verdict:
@@ -248,7 +267,11 @@ def main():
                        "dim": 4096 if quick else 8192},
                       timeout=min(240.0, max(args.budget / 3, 60.0))))
     detail.setdefault("phase_walls_s", {})["matmul_ctl"] = pre.get("wall_s")
-    if "error" in pre:
+    if "error" in pre and pre["error"].startswith("skipped"):
+        # never probed (budget too small) — that is NOT a relay verdict
+        detail["relay_precheck_skipped"] = True
+        state["phases_skipped"].append("matmul_ctl")
+    elif "error" in pre:
         detail["relay_precheck_failed"] = True
         detail["relay_precheck_error"] = pre["error"]
         state["phases_errored"].append("matmul_ctl")

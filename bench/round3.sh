@@ -23,18 +23,28 @@ log() { echo "[round3 $(date +%H:%M:%S)] $*" | tee -a "$OUT/run.log"; }
 
 # TPU lock: the driver's end-of-round `bench.py` preempts this run via
 # SIGTERM to the PID in this file (two TPU-attached processes poison each
-# other's timings, CLAUDE.md).  Every chip-touching child runs in the
-# background + `wait` so the TERM trap fires immediately and can kill it.
+# other's timings, CLAUDE.md).  Every chip-touching child runs under
+# `setsid` in its OWN process group + `wait`, so the TERM trap can kill
+# the whole tree (kernels.py/accuracy.py spawn probe workers that a
+# plain child-kill would orphan, leaving a chip-attached process running
+# into the driver's capture), REAP it, and only then drop the lock.
 LOCK=/tmp/gem_round3.pid
 echo $$ > "$LOCK"
 export GEM_ROUND3_SELF=1   # our own bench.py phases must not preempt us
 CHILD=
-cleanup() { [ -n "$CHILD" ] && kill "$CHILD" 2>/dev/null; rm -f "$LOCK"; }
+kill_tree() {
+  [ -n "$CHILD" ] || return 0
+  kill -TERM -- "-$CHILD" 2>/dev/null    # whole group (workers included)
+  wait "$CHILD" 2>/dev/null              # reap before releasing the lock
+  kill -KILL -- "-$CHILD" 2>/dev/null    # stragglers (hung relay calls)
+  CHILD=
+}
+cleanup() { kill_tree; rm -f "$LOCK"; }
 trap 'log "preempted (SIGTERM — yielding the TPU)"; cleanup; exit 143' TERM INT
 trap cleanup EXIT
 
-run_tpu() {  # run a chip-touching command preemptibly
-  "$@" &
+run_tpu() {  # run a chip-touching command preemptibly, in its own pgroup
+  setsid "$@" &
   CHILD=$!
   wait "$CHILD"
   local rc=$?
@@ -58,11 +68,8 @@ run_phase() {  # name spec timeout [env...]
   if [ "$l" -lt 120 ]; then log "SKIP $name (budget exhausted)"; return 1; fi
   [ "$to" -gt "$l" ] && to=$l
   log "phase $name timeout=${to}s left=${l}s $*"
-  env "$@" timeout "$to" python bench/probe.py worker "$spec" \
-    > "$OUT/$name.txt" 2>&1 &
-  CHILD=$!
-  wait "$CHILD"
-  CHILD=
+  run_tpu env "$@" timeout "$to" python bench/probe.py worker "$spec" \
+    > "$OUT/$name.txt" 2>&1
   grep PROBE_RESULT "$OUT/$name.txt" | tail -1 | tee -a "$OUT/run.log"
 }
 
@@ -141,15 +148,25 @@ if [ "$(left)" -gt 600 ]; then
     > "$OUT/trace_run.txt" 2>&1 && log "trace captured"
 fi
 
-# 7. driver-artifact rehearsal: exactly what the driver runs
-log "bench.py rehearsal (default budget)"
-run_tpu timeout 600 python bench.py \
-  --detail-out "$OUT/bench_default_detail.json" \
-  > "$OUT/bench_default.json" 2> "$OUT/bench_default.err"
-tail -1 "$OUT/bench_default.json" | tee -a "$OUT/run.log"
-log "dryrun_multichip rehearsal"
-run_tpu timeout 600 python -c \
-  'import __graft_entry__ as g; g.dryrun_multichip(8)' \
-  > "$OUT/dryrun.txt" 2>&1 && tail -1 "$OUT/dryrun.txt" | tee -a "$OUT/run.log"
+# 7. driver-artifact rehearsal: exactly what the driver runs.  Budget-
+# gated like every other section — overrunning the wall budget here is
+# the exact collide-with-the-driver's-own-bench mode the budget prevents.
+if [ "$(left)" -gt 120 ]; then
+  log "bench.py rehearsal (default budget)"
+  run_tpu timeout 600 python bench.py \
+    --detail-out "$OUT/bench_default_detail.json" \
+    > "$OUT/bench_default.json" 2> "$OUT/bench_default.err"
+  tail -1 "$OUT/bench_default.json" | tee -a "$OUT/run.log"
+else
+  log "SKIP bench.py rehearsal (budget exhausted)"
+fi
+if [ "$(left)" -gt 120 ]; then
+  log "dryrun_multichip rehearsal"
+  run_tpu timeout 600 python -c \
+    'import __graft_entry__ as g; g.dryrun_multichip(8)' \
+    > "$OUT/dryrun.txt" 2>&1 && tail -1 "$OUT/dryrun.txt" | tee -a "$OUT/run.log"
+else
+  log "SKIP dryrun rehearsal (budget exhausted)"
+fi
 
 log "done"

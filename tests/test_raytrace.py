@@ -163,6 +163,20 @@ def test_far_pool_conservative_and_agrees():
     assert missed <= 0.1 * del_e.sum(), (missed, del_e.sum())
 
 
+def farpool_scene(L: int):
+    """Shared random scene for the pooled-vs-exact agreement bounds —
+    also consumed by bench/validate_farpool.py, so the committed
+    FARPOOL_L1000 evidence measures exactly what this test bounds."""
+    rng = np.random.default_rng(7)
+    elev = rng.normal(0.0, 0.2, (L, L)).astype(np.float32)
+    lowest = rng.normal(-0.2, 0.3, (L, L)).astype(np.float32)
+    lowest[rng.random((L, L)) < 0.3] = 10.0
+    obs = rng.random((L, L)) < 0.06
+    elev[obs] += rng.uniform(1.5, 3.0, obs.sum())
+    traver = np.where(obs, 0.1, 1.0).astype(np.float32)
+    return elev, lowest, traver
+
+
 def test_far_pool_deep_agrees_with_exact():
     """p=3 and p=4 vs the exact path at L=256 (the smallest length whose
     pooled grids pass validate_config's 64^2 floor — at the flagship
@@ -173,13 +187,7 @@ def test_far_pool_deep_agrees_with_exact():
 
     L = 256
     base = dict(length=L, resolution=0.2, raytrace_num_rays=256)
-    rng = np.random.default_rng(7)
-    elev = rng.normal(0.0, 0.2, (L, L)).astype(np.float32)
-    lowest = rng.normal(-0.2, 0.3, (L, L)).astype(np.float32)
-    lowest[rng.random((L, L)) < 0.3] = 10.0
-    obs = rng.random((L, L)) < 0.06
-    elev[obs] += rng.uniform(1.5, 3.0, obs.sum())
-    traver = np.where(obs, 0.1, 1.0).astype(np.float32)
+    elev, lowest, traver = farpool_scene(L)
 
     cfg_exact = MapConfig(**base, raytrace_far_pool=1)
     state = _mkstate(cfg_exact, elev, lowest, sensor_z=1.2, start=(23, 9))
