@@ -35,21 +35,22 @@ def _platform() -> str:
     return "tpu" if p not in ("cpu", "gpu") else p
 
 
-def load_record(path: str = CALIB_PATH) -> dict:
+def load_record(path: str | None = None) -> dict:
     try:
-        with open(path) as f:
+        with open(path or CALIB_PATH) as f:
             return json.load(f)
     except (OSError, ValueError):
         return {}
 
 
 def save_record(platform: str, backend: str, step_ms: dict,
-                path: str = CALIB_PATH, context: dict | None = None) -> None:
+                path: str | None = None, context: dict | None = None) -> None:
     """Write the auto-select record.  `context` stamps the measurement's
     operating point + harness so staleness is detectable (round-2 verdict
     weak #4: a hand-curated record drifted from BENCH_DETAIL)."""
     import datetime
 
+    path = path or CALIB_PATH
     rec = load_record(path)
     rec[platform] = {"backend": backend, "step_ms": step_ms,
                      "recorded": datetime.datetime.now().isoformat(
