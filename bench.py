@@ -206,8 +206,11 @@ def main():
     # removes the lock) and wait briefly for a clean handoff.
     # (round3.sh itself invokes bench.py; GEM_ROUND3_SELF marks that call
     # so it doesn't SIGTERM its own parent)
+    # A run whose budget can never reach the chip (e.g. the zero-budget
+    # contract test) must not preempt either: it has nothing to contend.
     r3_lock = "/tmp/gem_round3.pid"
-    if os.path.exists(r3_lock) and not os.environ.get("GEM_ROUND3_SELF"):
+    if (os.path.exists(r3_lock) and not os.environ.get("GEM_ROUND3_SELF")
+            and budget_left() >= MIN_PHASE_S):
         try:
             with open(r3_lock) as f:
                 r3_pid = int(f.read().strip())

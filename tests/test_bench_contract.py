@@ -16,7 +16,10 @@ def test_bench_emits_json_with_zero_budget(tmp_path):
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--quick", "--budget", "1", "--fuse-backend", "stream",
          "--detail-out", str(tmp_path / "detail.json")],
-        capture_output=True, text=True, timeout=120, cwd=REPO)
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+        # never preempt a live round3.sh A/B sweep from inside the test
+        # suite (this exact test SIGTERM'd a real sweep once)
+        env={**os.environ, "GEM_ROUND3_SELF": "1"})
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, proc.stdout
