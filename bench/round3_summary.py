@@ -34,7 +34,15 @@ BASELINES = {
     "ray_pool1": "ray_pool2",
     "ray_pool3": "ray_pool2",
     "ray_pool4": "ray_pool2",
-    "fusek_1m_gather": "fusek_1m",
+    "fusek_1m_gather": ("fusek_1m", "fusek_1m_default"),
+    # round3b (shipped-defaults confirmation + remaining levers): every
+    # A/B compares against the no-override default row of the same run
+    "step_hz_gather": "step_hz_default",
+    "step_1m_gather": "step_1m_default",
+    "step_1m_colored_default": "step_1m_default",
+    "step_hz_tile2048": ("step_hz_p2", "step_hz_default"),
+    "step_1m_tile2048": "step_1m_default",
+    "step_1m_gather_tile2048": "step_1m_default",
 }
 
 
@@ -72,9 +80,12 @@ def main():
         pts = r.get("points", 0)
         hz = 1000.0 / ms if ms else float("nan")
         mpts = pts * hz / 1e6 if pts else 0.0
-        base = BASELINES.get(name)
+        cands = BASELINES.get(name, ())
+        if isinstance(cands, str):
+            cands = (cands,)
+        base = next((c for c in cands if c in rows), None)
         delta = ""
-        if base in rows:
+        if base is not None:
             bms = rows[base].get("per_frame_ms") \
                 or rows[base].get("per_program_ms")
             if bms:

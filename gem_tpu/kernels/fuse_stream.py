@@ -74,9 +74,10 @@ _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
 # Tile/chunk geometry.  Sweep/one-hot work scales with N_points * TILE;
 # fixed work scales with ncell/TILE grid steps + N/CHUNK chunk iterations.
 TILE = int(_os.environ.get("GEM_FUSE_TILE", 1024))
-# default CHUNK: 512 for typical frames; >=2M-point frames amortise the
-# per-chunk loop/DMA overhead better at 1024 (chunk count dominates there).
-# GEM_FUSE_CHUNK forces a fixed value.
+# default CHUNK: 512 for typical frames; >=1M-point frames amortise the
+# per-chunk loop/DMA overhead better at 1024 (chunk count dominates there:
+# round-3 A/B at 1M pts measured 17.1 ms vs 18.1 ms, bench/results/round3/
+# step_1m_chunk1024.txt).  GEM_FUSE_CHUNK forces a fixed value.
 _CHUNK_ENV = int(_os.environ.get("GEM_FUSE_CHUNK", 0))
 assert TILE % 128 == 0 and _CHUNK_ENV % 128 == 0
 
@@ -84,7 +85,7 @@ assert TILE % 128 == 0 and _CHUNK_ENV % 128 == 0
 def _pick_chunk(n_points: int) -> int:
     if _CHUNK_ENV:
         return _CHUNK_ENV
-    return 1024 if n_points >= (1 << 21) else 512
+    return 1024 if n_points >= (1 << 20) else 512
 _ROWS = 8            # packed point-matrix rows (both color modes)
 _STATS = 16          # aggregate rows per cell (see _kernel docstring)
 _INF = float("inf")
@@ -103,10 +104,14 @@ _PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
 # cost for fully-colored frames); "scan" = segmented lane scan: points in a
 # chunk are CELL-CONTIGUOUS (the stream is sorted), so a log2(CHUNK)-step
 # rolled min-scan reduces each in-chunk segment, the segment-end lane holds
-# the cell's (v, color, intensity) winner, and placement rides the existing
-# pass-B2 MXU dot as 4 extra sum columns (<=1 contributing lane per cell) —
-# O(CHUNK log CHUNK) total, removing the N*TILE term entirely
-_COLOR = _os.environ.get("GEM_FUSE_COLOR", "sweep")
+# the cell's (v, color, intensity) winner, and placement is a second skinny
+# MXU dot (4 sum columns, <=1 contributing lane per cell) gated per chunk on
+# any-colored — O(CHUNK log CHUNK) for colored chunks, ~free for colorless
+# ones.  Round-3 on-chip A/B at strict 128k colored frames: scan 10.4 ms vs
+# sweep 12.3 ms (bench/results/round3/step_hz_color_scan.txt); with the
+# colorless gate scan no longer pays its 1M colorless regression, so it is
+# the default.
+_COLOR = _os.environ.get("GEM_FUSE_COLOR", "scan")
 
 
 def _cdiv(a, b):
@@ -201,23 +206,35 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
 
         # --- pass A: broadcast prior + start anchor to each point (MXU) -----
         # LHS (TILE, 4): skinny dim on output SUBLANES (pads to 8, not 128)
-        pri = jnp.concatenate(
-            [pri2, jnp.transpose(stats_ref[0:2, :])], axis=1)  # (T, 4)
+        if "noprior" in _ABLATE or _PASSA != "gather":
+            pri = jnp.concatenate(
+                [pri2, jnp.transpose(stats_ref[0:2, :])], axis=1)  # (T, 4)
         if "noprior" in _ABLATE:
             e0_pt = h * 0.0 + jnp.sum(pri) * 1e-30
             v0_pt = v * 0.0 + mcfg.min_variance
             sth = h
             stv = v
         elif _PASSA == "gather":
-            # per-point anchor via a sublane take_along_axis from the
-            # (TILE, 4) VMEM-resident prior matrix: no second one-hot, no
-            # dot.  Out-of-tile rows (aligned prefix / pad) get clamped
-            # garbage — harmless, their contributions never scatter (the
-            # pass-B one-hot has no matching lane for them).
-            idx = jnp.clip(jnp.transpose(cl_i), 0, TILE - 1)  # (CHUNK, 1)
-            g4 = jnp.take_along_axis(
-                pri, jnp.broadcast_to(idx, (CHUNK, 4)), axis=0)  # (C, 4)
-            gT = jnp.transpose(g4)                             # (4, CHUNK)
+            # per-point anchor via a LANE take_along_axis from a (4, TILE)
+            # lane-major prior matrix: no second one-hot, no dot.  Mosaic's
+            # gather lowering needs indices congruent to the operand
+            # (tpu.dynamic_gather along lanes), so the index row is padded
+            # to the operand width and the result sliced back to CHUNK.
+            # Out-of-tile rows (aligned prefix / pad) get clamped garbage —
+            # harmless, their contributions never scatter (the pass-B
+            # one-hot has no matching lane for them).
+            W = max(TILE, CHUNK)
+            pri_t = jnp.concatenate(
+                [elev0_ref[0, 0, :][None, :], var0_ref[0, 0, :][None, :],
+                 stats_ref[0:2, :]], axis=0)               # (4, TILE)
+            if W > TILE:
+                pri_t = jnp.pad(pri_t, ((0, 0), (0, W - TILE)))
+            idx = jnp.clip(cl_i, 0, TILE - 1)              # (1, CHUNK)
+            if W > CHUNK:
+                idx = jnp.pad(idx, ((0, 0), (0, W - CHUNK)))
+            gT = jnp.take_along_axis(
+                pri_t, jnp.broadcast_to(idx, (4, W)), axis=1,
+                mode="promise_in_bounds")[:, :CHUNK]       # (4, CHUNK)
             e0_pt = gT[0:1, :]
             v0_pt = gT[1:2, :]
             sth = gT[2:3, :]
@@ -253,9 +270,39 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             colf = p[5:6, :]
             hc = p[6:7, :]
             oc = argout * hc
-            cols = [inl_f * w, inl_f * w * h, argout,
-                    oc, oc * v, oc * colf, oc * inten, low_c]
-            if _COLOR == "scan":
+            b2 = jnp.transpose(jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout,
+                 oc, oc * v, oc * colf, oc * inten, low_c], axis=0))  # (C, 8)
+        else:
+            b2 = jnp.transpose(jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
+                axis=0))
+        if "nomm" in _ABLATE:
+            s2 = jnp.broadcast_to(jnp.sum(b2, axis=0)[:, None],
+                                  (b2.shape[1], TILE))
+        else:
+            s2 = jax.lax.dot_general(b2, onehot, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        stats_ref[4:12, :] += s2[0:8, :]
+
+        def combine_vc(vc_chunk, col_chunk, int_chunk):
+            vc_old = stats_ref[12, :]
+            lt = vc_chunk < vc_old
+            eq = vc_chunk == vc_old
+            pay_old = stats_ref[13:15, :]
+            pay_chunk = jnp.stack([col_chunk, int_chunk])
+            stats_ref[13:15, :] = jnp.where(
+                lt[None, :], pay_chunk,
+                jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
+                          pay_old))
+            stats_ref[12, :] = jnp.minimum(vc_old, vc_chunk)
+
+        if with_color and _COLOR == "scan":
+            # colorless chunks (common for camera-less LiDAR) skip the whole
+            # scan + placement dot — one scalar test per chunk, same gate as
+            # the sweep path below
+            @pl.when(jnp.sum(hc) > 0.0)
+            def _():
                 # segmented (per-cell) min over the chunk row: cells are
                 # contiguous in the sorted stream, so a rolled log-scan
                 # reduces each in-chunk segment.  Combine is lexicographic:
@@ -283,47 +330,29 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
                     kk *= 2
                 # segment-end lane (next lane = different cell) now holds
                 # the full in-chunk reduction; <=1 such lane per cell, so
-                # plain sums through the one-hot dot place it (jnp.where,
-                # not *, keeps 0*inf NaNs out of the dot)
+                # plain sums through a second skinny one-hot dot place it
+                # (jnp.where, not *, keeps 0*inf NaNs out of the dot)
                 is_last = ((pltpu.roll(cl_i, CHUNK - 1, 1) != cl_i)
                            | (lane1 == CHUNK - 1))
                 fin = is_last & (vrow < _INF)
-                cols += [fin.astype(jnp.float32),
-                         jnp.where(fin, vrow, 0.0),
-                         jnp.where(fin, crow, 0.0),
-                         jnp.where(fin, irow, 0.0)]
-            b2 = jnp.transpose(jnp.concatenate(cols, axis=0))  # (C, 8|12)
-        else:
-            b2 = jnp.transpose(jnp.concatenate(
-                [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
-                axis=0))
-        if "nomm" in _ABLATE:
-            s2 = jnp.broadcast_to(jnp.sum(b2, axis=0)[:, None],
-                                  (b2.shape[1], TILE))
-        else:
-            s2 = jax.lax.dot_general(b2, onehot, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        stats_ref[4:12, :] += s2[0:8, :]
-
-        def combine_vc(vc_chunk, col_chunk, int_chunk):
-            vc_old = stats_ref[12, :]
-            lt = vc_chunk < vc_old
-            eq = vc_chunk == vc_old
-            pay_old = stats_ref[13:15, :]
-            pay_chunk = jnp.stack([col_chunk, int_chunk])
-            stats_ref[13:15, :] = jnp.where(
-                lt[None, :], pay_chunk,
-                jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
-                          pay_old))
-            stats_ref[12, :] = jnp.minimum(vc_old, vc_chunk)
-
-        if with_color and _COLOR == "scan":
-            # decode the summed placement columns; all-zero (no colored
-            # inlier whose segment ends here) decodes to +inf = no-op
-            has = s2[8, :] > 0.0
-            combine_vc(jnp.where(has, s2[9, :], _INF),
-                       jnp.where(has, s2[10, :], _INF),
-                       jnp.where(has, s2[11, :], _INF))
+                b2c = jnp.transpose(jnp.concatenate(
+                    [fin.astype(jnp.float32),
+                     jnp.where(fin, vrow, 0.0),
+                     jnp.where(fin, crow, 0.0),
+                     jnp.where(fin, irow, 0.0)], axis=0))     # (C, 4)
+                if "nomm" in _ABLATE:
+                    s2c = jnp.broadcast_to(jnp.sum(b2c, axis=0)[:, None],
+                                           (4, TILE))
+                else:
+                    s2c = jax.lax.dot_general(
+                        b2c, onehot, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                # decode the summed placement columns; all-zero (no colored
+                # inlier whose segment ends here) decodes to +inf = no-op
+                has = s2c[0, :] > 0.0
+                combine_vc(jnp.where(has, s2c[1, :], _INF),
+                           jnp.where(has, s2c[2, :], _INF),
+                           jnp.where(has, s2c[3, :], _INF))
         elif with_color:
             # colorless chunks (common for camera-less LiDAR) skip the
             # color statistics entirely — one scalar test per chunk

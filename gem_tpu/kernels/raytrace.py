@@ -214,9 +214,17 @@ def _far_min_g(g, L: int, R: int, G: int):
 
 
 def _far_pool(cfg: MapConfig) -> int:
+    # auto: the round-3 on-chip ladder at L=1000 measured 8.2/2.5/1.8/1.7 ms
+    # for p=1/2/3/4 (bench/results/round3/ray_pool*.txt) while full-map
+    # deletion agreement vs exact stays 99.7/99.4/98.4% for p=2/3/4
+    # (tests/test_raytrace.py far_pool suite) — p=3 is the knee.  Guarded by
+    # validate_config's >=64^2 pooled-grid floor for explicit settings; the
+    # auto thresholds keep the pooled grid >=256^2.
     p = cfg.raytrace_far_pool
     if p > 0:
         return p
+    if cfg.length >= 768:
+        return 3
     return 2 if cfg.length >= 512 else 1
 
 
