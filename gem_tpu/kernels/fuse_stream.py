@@ -73,19 +73,31 @@ from gem_tpu.kernels.pointproc import PointBatch
 _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
 # Tile/chunk geometry.  Sweep/one-hot work scales with N_points * TILE;
 # fixed work scales with ncell/TILE grid steps + N/CHUNK chunk iterations.
-TILE = int(_os.environ.get("GEM_FUSE_TILE", 1024))
+# GEM_FUSE_TILE / GEM_FUSE_CHUNK force fixed values (0 = auto per call).
+_TILE_ENV = int(_os.environ.get("GEM_FUSE_TILE", 0))
 # default CHUNK: 512 for typical frames; >=1M-point frames amortise the
 # per-chunk loop/DMA overhead better at 1024 (chunk count dominates there:
 # round-3 A/B at 1M pts measured 17.1 ms vs 18.1 ms, bench/results/round3/
-# step_1m_chunk1024.txt).  GEM_FUSE_CHUNK forces a fixed value.
+# step_1m_chunk1024.txt).
 _CHUNK_ENV = int(_os.environ.get("GEM_FUSE_CHUNK", 0))
-assert TILE % 128 == 0 and _CHUNK_ENV % 128 == 0
+assert _TILE_ENV % 128 == 0 and _CHUNK_ENV % 128 == 0
 
 
 def _pick_chunk(n_points: int) -> int:
     if _CHUNK_ENV:
         return _CHUNK_ENV
     return 1024 if n_points >= (1 << 20) else 512
+
+
+def _pick_tile(n_points: int, ncell: int) -> int:
+    """One-hot work scales with N*TILE (point-bound); per-tile fixed cost
+    with ncell/TILE (tile-count-bound).  Round-3b on-chip A/B at 1000^2:
+    TILE=2048 is -9.2% at 128k pts (7.93 vs 8.73 ms) and +8.8% at 1M
+    (16.74 vs 15.38) — the linear model from those two deltas puts the
+    crossover at N* ~ 0.45*ncell, so pick 2048 iff 2*N <= ncell."""
+    if _TILE_ENV:
+        return _TILE_ENV
+    return 2048 if 2 * n_points <= ncell else 1024
 _ROWS = 8            # packed point-matrix rows (both color modes)
 _STATS = 16          # aggregate rows per cell (see _kernel docstring)
 _INF = float("inf")
@@ -119,7 +131,7 @@ def _cdiv(a, b):
 
 
 def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
-            buf, sem, *, mcfg, CHUNK, with_lowest, with_color):
+            buf, sem, *, mcfg, CHUNK, TILE, with_lowest, with_color):
     """Aggregate rows written to stats_ref (16, TILE), a (16, cpad) block
     column — stat-major so the host-side reshape to (16, cells) is free
     (no transpose) while the block keeps 16 sublanes:
@@ -387,10 +399,11 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     mcfg = cfg.map
     L = mcfg.length
     ncell = L * L
-    n_tiles = _cdiv(ncell, TILE)
-    cpad = n_tiles * TILE
     P = batch.cell.shape[0]
     CHUNK = _pick_chunk(P)
+    TILE = _pick_tile(P, ncell)
+    n_tiles = _cdiv(ncell, TILE)
+    cpad = n_tiles * TILE
 
     # --- one 3-key sort: (cell, -h, v) + payloads ---------------------------
     ids = jnp.where(batch.valid, batch.cell, ncell).astype(jnp.int32)
@@ -464,7 +477,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kern = functools.partial(_kernel, mcfg=mcfg, CHUNK=CHUNK,
+    kern = functools.partial(_kernel, mcfg=mcfg, CHUNK=CHUNK, TILE=TILE,
                              with_lowest=with_lowest, with_color=with_color)
     stats = pl.pallas_call(
         kern, grid_spec=grid_spec,

@@ -35,6 +35,23 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
                                process_id=process_id, **kwargs)
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this barrier, over the
+    coordinator's KV service (plain TCP to process 0 — no collective
+    context involved).  Call it before the first cross-process collective
+    whenever processes can arrive minutes apart (cold jit-cache compiles
+    on a loaded host): Gloo pair setup inside the collective has a hard
+    ~30 s connect/KV deadline, so skewed arrival fails the collective
+    itself with 'Gloo context initialization failed' (observed in
+    tests/test_distributed.py after kernel edits invalidated the cache).
+    No-op when jax.distributed was never initialized."""
+    from jax._src import distributed as _dist
+    client = getattr(_dist.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def global_mesh(axis: str = "robot") -> Mesh:
     """1-D mesh over the GLOBAL device set (all processes)."""
     devs = jax.devices()

@@ -74,7 +74,13 @@ ring = jax.jit(jax.shard_map(
 payload = np.arange(n, dtype=np.float32).reshape(n, 1) + 1000 * pid
 glob = dist.distribute_fleet(payload[pid * local_robots:
                                      (pid + 1) * local_robots], mesh)
-got = dist.local_values(ring(glob)).ravel()
+# compile locally first, then rendezvous at the coordinator barrier:
+# the ring is the FIRST cross-process collective, and its Gloo pair
+# setup has a ~30 s deadline — a cold jit cache can skew the two
+# workers' fleet-step compiles by minutes on a 1-core host
+ring_c = ring.lower(glob).compile()
+dist.barrier("ring_ready")
+got = dist.local_values(ring_c(glob)).ravel()
 want_src = [(pid * local_robots + j - 1) % n for j in range(local_robots)]
 want = np.asarray([s + 1000 * (s // local_robots) for s in want_src],
                   np.float32)
