@@ -506,11 +506,15 @@ def _make_step_inputs(spec):
     length = spec.get("length", LENGTH)
     n_points = spec.get("points", N_POINTS)
     cfg = benchmark_config(length=length, max_points=n_points)
-    if spec.get("far_pool"):
+    if spec.get("far_pool") or spec.get("max_shift"):
         import dataclasses as _dc
 
-        cfg = cfg.replace(map=_dc.replace(cfg.map,
-                                          raytrace_far_pool=spec["far_pool"]))
+        mkw = {}
+        if spec.get("far_pool"):
+            mkw["raytrace_far_pool"] = spec["far_pool"]
+        if spec.get("max_shift"):
+            mkw["max_shift_cells"] = spec["max_shift"]
+        cfg = cfg.replace(map=_dc.replace(cfg.map, **mkw))
     cfg = cfg.replace(
         enable_features=spec.get("features", True),
         enable_raytrace=spec.get("raytrace", True),
@@ -555,12 +559,23 @@ def phase_step(spec):
     from gem_tpu.mapping.pipeline import step
 
     cfg, state, frames = _make_step_inputs(spec)
+    # "donate": measure with state buffers donated (production deployments
+    # on a normal TPU host donate; this image's relay hangs when FETCHING
+    # scalars aliased into donated buffers — metrics are fresh outputs, so
+    # the fetch below stays safe.  See CLAUDE.md).
+    kw = {"donate_argnums": 0} if spec.get("donate") else {}
     f = jax.jit(functools.partial(
         step, cfg=cfg, fuse_backend=spec.get("fuse", "segment"),
-        feature_backend=spec.get("feature_backend", "xla")))
+        feature_backend=spec.get("feature_backend", "xla")), **kw)
 
     def run(K):
-        s = state
+        if spec.get("donate"):
+            # donation consumes the buffers: give each trial its own copy
+            # (untimed device-side clone)
+            import jax.numpy as jnp
+            s = jax.block_until_ready(jax.tree.map(jnp.array, state))
+        else:
+            s = state
         t0 = time.perf_counter()
         for i in range(K):
             s, out = f(s, frames[i % len(frames)])
