@@ -24,7 +24,6 @@ BASELINES = {
     "step_hz_passa_gather": "step_hz_p2",
     "step_hz_color_scan": "step_hz_colored",
     "step_hz_colored": "step_hz_p2",
-    "step_hz_tile2048": "step_hz_p2",
     "step_1m_passa_gather": "step_1m_p2",
     "step_1m_chunk1024": "step_1m_p2",
     "step_1m_colored": "step_1m_p2",

@@ -130,8 +130,9 @@ class MapConfig:
     # the two slot sorts shrink p^2 while every constraint VALUE stays
     # exact (min-pool commutes with the suffix min); only the "strictly
     # farther" exclusion coarsens to ~p*group cells — conservative, same
-    # class as the group-granule deviation (PARITY.md).  0 => auto: 2 for
-    # length >= 512, else 1 (small maps keep the exact granularity).
+    # class as the group-granule deviation (PARITY.md).  0 => auto: 3 for
+    # length >= 768 (round-3 on-chip knee, 99.4% deletion agreement at
+    # L=1000), 2 for length >= 512, else 1 (small maps stay exact).
     raytrace_far_pool: int = 0
 
     # rolling-buffer shift cap per frame (cells).  Shifts beyond this fall back

@@ -460,14 +460,25 @@ def cmd_fleet(args):
     t0 = time.time()
     n = 0
     outs = None
+    step_fn_c = None
     for frames in zip(*gens):
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                *[f for f, _, _ in frames])
         if dist is not None:
             stacked = dist.distribute_fleet(stacked, mesh)
-        elif args.mesh:
-            stacked = shard_fleet(stacked, mesh)
-        state, outs = step_fn(state, stacked)
+            if step_fn_c is None:
+                # compile locally FIRST, then rendezvous at the coordinator
+                # barrier, only then execute: Gloo pair setup inside the
+                # first cross-process collective has a ~30 s deadline,
+                # while asymmetric jit caches can skew the hosts' compiles
+                # by minutes (multirobot/distributed.py barrier docstring)
+                step_fn_c = step_fn.lower(state, stacked).compile()
+                dist.barrier("fleet_first_step")
+            state, outs = step_fn_c(state, stacked)
+        else:
+            if args.mesh:
+                stacked = shard_fleet(stacked, mesh)
+            state, outs = step_fn(state, stacked)
         n += 1
     jax.block_until_ready(state)
     dt = time.time() - t0

@@ -166,16 +166,20 @@ def test_step_stream_matches_segment_end_to_end():
                                np.asarray(sb.map.lowest), atol=1e-5)
 
 
+@pytest.mark.parametrize("color_mode", ["scan", "sweep"])
 @pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
                                                  (2, 1.0, 0.5)])
-def test_stream_color_scan_matches_segment(monkeypatch, seed, occ,
-                                           valid_frac):
-    """GEM_FUSE_COLOR=scan variant: the segmented rolled min-scan color
-    reduction (O(CHUNK log CHUNK)) must match the dense sweep's semantics —
-    min-v inlier color with independent payload min at exact v ties."""
+def test_stream_color_modes_match_segment(monkeypatch, color_mode, seed,
+                                          occ, valid_frac):
+    """Both color argmin mechanisms must match the segment oracle: the
+    segmented rolled min-scan (default) and the dense (CHUNK, TILE)
+    min-sweep (GEM_FUSE_COLOR=sweep, the documented A/B fallback) — min-v
+    inlier color with independent payload min at exact v ties.  The sweep
+    leg exists so flipping the default to scan doesn't silently drop all
+    coverage of the sweep branch."""
     import gem_tpu.kernels.fuse_stream as fs
 
-    monkeypatch.setattr(fs, "_COLOR", "scan")
+    monkeypatch.setattr(fs, "_COLOR", color_mode)
     rng = np.random.default_rng(seed)
     L = 40
     cfg = benchmark_config(length=L, max_points=2048)
@@ -187,13 +191,14 @@ def test_stream_color_scan_matches_segment(monkeypatch, seed, occ,
     _compare(a, b)
 
 
-def test_stream_color_scan_one_cell(monkeypatch):
-    """Scan variant under worst-case skew: one cell spans many chunks, so
+@pytest.mark.parametrize("color_mode", ["scan", "sweep"])
+def test_stream_color_one_cell(monkeypatch, color_mode):
+    """Color paths under worst-case skew: one cell spans many chunks, so
     cross-chunk partial-min combining (incl. exact-tie payload union) is
-    exercised."""
+    exercised, in both scan and sweep modes."""
     import gem_tpu.kernels.fuse_stream as fs
 
-    monkeypatch.setattr(fs, "_COLOR", "scan")
+    monkeypatch.setattr(fs, "_COLOR", color_mode)
     rng = np.random.default_rng(3)
     L = 32
     cfg = benchmark_config(length=L, max_points=4096)
