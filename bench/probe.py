@@ -515,6 +515,11 @@ def _make_step_inputs(spec):
         if spec.get("max_shift"):
             mkw["max_shift_cells"] = spec["max_shift"]
         cfg = cfg.replace(map=_dc.replace(cfg.map, **mkw))
+    if spec.get("staging") is not None:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(submap=_dc.replace(
+            cfg.submap, staging_frames=spec["staging"]))
     cfg = cfg.replace(
         enable_features=spec.get("features", True),
         enable_raytrace=spec.get("raytrace", True),

@@ -186,6 +186,17 @@ class SubmapConfig:
     # rings).  Independent pairs are batched into vertex-disjoint rounds,
     # so the device-serial chain length is O(M), not O(K^2).
     max_pairs_per_submap: int = 8
+    # Deferred shed compaction: stage up to this many raw per-frame shed
+    # bands in a (S, band) ring (one dynamic-update-slice per frame) and
+    # cumsum-compact them into the accumulator only when the ring fills or
+    # a keyframe finalizes.  Semantically identical to per-frame compaction
+    # (the accumulator is only consumed at finalize; staged bands flush in
+    # frame order), but amortizes the per-frame stack+scatter glue measured
+    # at 1.27 ms/frame on the 1M-point step (bench/results/PROFILE_r3.md).
+    # 0 = compact every frame.  Keep 0 for vmap'd fleets: under vmap the
+    # flush lax.cond lowers to a select that pays the flush EVERY frame
+    # (multirobot/fleet.py forces 0 for this reason).
+    staging_frames: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,6 +59,8 @@ def shard_store(store: SubmapStore, mesh: Mesh, axis: str = "shard"
         accum=jax.tree.map(lambda a: place(a, repl), store.accum),
         accum_count=place(store.accum_count, repl),
         dropped=place(store.dropped, repl),
+        staging=jax.tree.map(lambda a: place(a, repl), store.staging),
+        staging_used=place(store.staging_used, repl),
     )
 
 

@@ -64,6 +64,12 @@ class SubmapStore:
     accum: PointBuffer            # (capacity,) current-submap accumulator
     accum_count: jax.Array        # () i32
     dropped: jax.Array            # () i32 total points lost to capacity
+    # Deferred-compaction staging ring (SubmapConfig.staging_frames): raw
+    # per-frame shed bands land here via one dynamic-update-slice per frame
+    # and are cumsum-compacted into `accum` only on ring-full or keyframe
+    # finalize.  (0, band) when staging_frames == 0 (per-frame compaction).
+    staging: PointBuffer          # (S, band)
+    staging_used: jax.Array       # () i32 staged frames (< S between steps)
     # published-SubMap payload rings (dislam_msgs/SubMap.msg orthoImage +
     # keyframePC, src/ElevationMapping.cpp:666-681); zero-size when disabled
     orthos: jax.Array             # (K, L, L, 3) u8 or (K, 0, 0, 3)
@@ -78,6 +84,7 @@ def init_store(cfg: PipelineConfig) -> SubmapStore:
     K, C = cfg.submap.max_submaps, cfg.submap.capacity
     Lo = cfg.map.length if cfg.submap.store_ortho else 0
     M = cfg.submap.keyframe_scan_points
+    band = 2 * cfg.map.max_shift_cells * cfg.map.length  # == ShedCells size
     return SubmapStore(
         slots=empty_buffer((K, C)),
         counts=jnp.zeros((K,), jnp.int32),
@@ -87,6 +94,8 @@ def init_store(cfg: PipelineConfig) -> SubmapStore:
         accum=empty_buffer((C,)),
         accum_count=jnp.int32(0),
         dropped=jnp.int32(0),
+        staging=empty_buffer((cfg.submap.staging_frames, band)),
+        staging_used=jnp.int32(0),
         orthos=jnp.zeros((K, Lo, Lo, 3), jnp.uint8),
         kf_points=jnp.zeros((K, M, 3), jnp.float32),
         kf_counts=jnp.zeros((K,), jnp.int32),
@@ -130,6 +139,27 @@ def shed_to_buffer(shed: ShedCells) -> PointBuffer:
                        color=shed.color, valid=shed.valid)
 
 
+def flush_staging(store: SubmapStore) -> SubmapStore:
+    """Compact every staged shed band into the accumulator (frame order).
+
+    Unstaged ring rows carry valid=False (reset below / init), so one
+    flattened `_compact_append` over (S*band,) rows reproduces exactly the
+    per-frame append sequence: row order is (frame, band-position)-major,
+    the same relative order per-frame compaction consumed, so accumulator
+    contents, counts, and capacity-drop totals are bit-identical
+    (tests/test_submap_staging.py)."""
+    st = store.staging
+    if st.x.shape[0] == 0:
+        return store
+    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), st)
+    accum, cnt, dropped = _compact_append(store.accum, store.accum_count,
+                                          flat)
+    return store.replace(
+        accum=accum, accum_count=cnt, dropped=store.dropped + dropped,
+        staging=st.replace(valid=jnp.zeros_like(st.valid)),
+        staging_used=jnp.int32(0))
+
+
 def append_shed(store: SubmapStore, shed: ShedCells) -> SubmapStore:
     """Accumulate this frame's evicted cells into the current submap.
 
@@ -137,11 +167,27 @@ def append_shed(store: SubmapStore, shed: ShedCells) -> SubmapStore:
     (src/ElevationMapping.cpp:716-765); dedup happens at export/loop-closure
     time by quantized cell key (kernels/scatter machinery) instead of
     per-insert.
-    """
-    accum, cnt, dropped = _compact_append(store.accum, store.accum_count,
-                                          shed_to_buffer(shed))
-    return store.replace(accum=accum, accum_count=cnt,
-                         dropped=store.dropped + dropped + shed.dropped)
+
+    With staging enabled (SubmapConfig.staging_frames > 0) the band is
+    parked in the staging ring with one dynamic-update-slice per field and
+    compaction is deferred to ring-full / keyframe-finalize — the hot path
+    sheds the per-frame cumsum + (capacity, 8) stack/scatter glue
+    (1.27 ms/frame at 1M pts, bench/results/PROFILE_r3.md)."""
+    S = store.staging.x.shape[0]
+    # Staging rows are sized for move()'s fixed shed band; an ad-hoc shed of
+    # any other width (tests, tools) compacts immediately instead.
+    if S == 0 or shed.x.shape[-1] != store.staging.x.shape[-1]:
+        accum, cnt, dropped = _compact_append(store.accum, store.accum_count,
+                                              shed_to_buffer(shed))
+        return store.replace(accum=accum, accum_count=cnt,
+                             dropped=store.dropped + dropped + shed.dropped)
+    i = store.staging_used
+    staging = jax.tree.map(lambda s, v: s.at[i].set(v),
+                           store.staging, shed_to_buffer(shed))
+    store = store.replace(staging=staging, staging_used=i + 1,
+                          dropped=store.dropped + shed.dropped)
+    return jax.lax.cond(store.staging_used >= S, flush_staging,
+                        lambda s: s, store)
 
 
 def grid_to_points(state: MapState, cfg: PipelineConfig, traver) -> PointBuffer:
@@ -182,6 +228,7 @@ def finalize_submap(store: SubmapStore, grid_points: PointBuffer,
     K = store.counts.shape[0]
     slot = jnp.mod(store.num_submaps, K)
 
+    store = flush_staging(store)   # staged bands precede the grid snapshot
     merged, cnt, dropped = _compact_append(store.accum, store.accum_count,
                                            grid_points)
     take_slot = lambda arr, v: arr.at[slot].set(v)

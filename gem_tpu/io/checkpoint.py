@@ -45,7 +45,12 @@ def load_checkpoint(path: str, cfg: PipelineConfig) -> tuple[PipelineState, dict
     leaves = []
     for key in flat:
         if key not in data:
-            raise KeyError(f"checkpoint missing leaf {key!r}")
+            # Forward compat: leaves added after the checkpoint was written
+            # (e.g. the submap staging ring) fall back to their init values.
+            # Safe only for leaves whose init state is "empty"; anything
+            # load-bearing existed when the file was saved.
+            leaves.append(flat[key])
+            continue
         leaves.append(jax.numpy.asarray(data[key]))
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     extra = {k.split("/", 1)[1]: data[k] for k in data.files

@@ -95,6 +95,10 @@ def _global_cloud(pipe, cfg):
     parts.append({f: np.asarray(getattr(s.accum, f))
                   for f in ("x", "y", "z", "color", "intensity",
                             "variance", "traver", "valid")})
+    if s.staging.x.shape[0]:  # staged-but-unflushed shed bands
+        parts.append({f: np.asarray(getattr(s.staging, f)).reshape(-1)
+                      for f in ("x", "y", "z", "color", "intensity",
+                                "variance", "traver", "valid")})
     pc = grid_point_cloud(pipe.state.map, cfg.map,
                           pipe.last_outputs.features.traver
                           if pipe.last_outputs else None)

@@ -31,7 +31,17 @@ from gem_tpu.mapping.pipeline import (Frame, PipelineState,
 
 
 def make_fleet_state(cfg: PipelineConfig, n_robots: int) -> PipelineState:
-    """Stacked pipeline state with a leading robot axis."""
+    """Stacked pipeline state with a leading robot axis.
+
+    Shed staging is forced off: under vmap the staging-ring flush
+    `lax.cond` lowers to a select that executes (and pays for) the flush
+    on EVERY frame, inverting the amortization it exists for (see
+    SubmapConfig.staging_frames).  Per-frame compaction is the right
+    batched shape."""
+    import dataclasses as _dc
+
+    if cfg.submap.staging_frames:
+        cfg = cfg.replace(submap=_dc.replace(cfg.submap, staging_frames=0))
     one = init_pipeline_state(cfg)
     return jax.tree.map(
         lambda x: jax.numpy.broadcast_to(x, (n_robots,) + x.shape), one)
