@@ -35,9 +35,12 @@ N_POINTS = 1 << 20
 LENGTH = 1000
 
 
-def slope_time(run, k_lo=2, k_hi=12, trials=3):
+def slope_time(run, k_lo=2, k_hi=12, trials=3, breakdown=None):
     """run(K) -> elapsed seconds for K chained programs + value fetch."""
+    t0 = time.perf_counter()
     run(1)          # compile
+    if breakdown is not None:
+        breakdown["compile_s"] = round(time.perf_counter() - t0, 1)
     run(1)          # warm
     t_lo = min(run(k_lo) for _ in range(trials))
     t_hi = min(run(k_hi) for _ in range(trials))
@@ -563,7 +566,9 @@ def phase_step(spec):
 
     from gem_tpu.mapping.pipeline import step
 
+    t_setup0 = time.perf_counter()
     cfg, state, frames = _make_step_inputs(spec)
+    setup_s = round(time.perf_counter() - t_setup0, 1)
     # "donate": measure with state buffers donated (production deployments
     # on a normal TPU host donate; this image's relay hangs when FETCHING
     # scalars aliased into donated buffers — metrics are fresh outputs, so
@@ -587,10 +592,11 @@ def phase_step(spec):
         _fetch(out.metrics["points_valid"])
         return time.perf_counter() - t0
 
+    bd = {"setup_s": setup_s}
     ms, lo, hi = slope_time(run, k_lo=spec.get("k_lo", 2),
                             k_hi=spec.get("k_hi", 12),
-                            trials=spec.get("trials", 3))
-    return {"per_program_ms": ms * 1e3, "t_lo_s": lo, "t_hi_s": hi}
+                            trials=spec.get("trials", 3), breakdown=bd)
+    return {"per_program_ms": ms * 1e3, "t_lo_s": lo, "t_hi_s": hi, **bd}
 
 
 def phase_scan(spec):
@@ -650,6 +656,7 @@ def worker(spec):
                           "/tmp/gem_tpu_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    t_imp0 = time.perf_counter()
     if spec.get("cpu"):
         import jax
 
@@ -657,7 +664,9 @@ def worker(spec):
     import jax
 
     spec.setdefault("device", str(jax.devices()[0]))
+    import_s = round(time.perf_counter() - t_imp0, 1)
     out = PHASES[spec["phase"]](spec)
+    out.setdefault("import_s", import_s)
     out.update({k: v for k, v in spec.items() if k != "device"})
     print("PROBE_RESULT " + json.dumps(out))
 
