@@ -218,11 +218,15 @@ def main():
             r3_pid = 0
 
         def _is_round3(pid: int) -> bool:
-            # PID-reuse guard: only signal a process that really is
-            # round3.sh (a stale lock must never kill a bystander)
+            # PID-reuse guard: only signal a process that really is a
+            # round sweep (a stale lock must never kill a bystander).
+            # Matches round3.sh and any later bench/roundN*.sh that
+            # adopts the same lock protocol.
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as f:
-                    return b"round3.sh" in f.read()
+                    cmd = f.read()
+                    return b"round3.sh" in cmd or b"round4" in cmd \
+                        or b"round5" in cmd
             except OSError:
                 return False
 
