@@ -78,9 +78,14 @@ run_phase matmul_ctl '{"name":"matmul_ctl","phase":"matmul"}' 1200
 # --- isolated fuse-kernel geometry grid @ 1M pts, 1000^2 ------------------
 FK='"phase":"fusekernel","points":1048576,"k_lo":2,"k_hi":12,"trials":3'
 run_phase fusek_1m_t1024_c1024 "{\"name\":\"fusek_1m_t1024_c1024\",$FK}" 3000 GEM_FUSE_TILE=1024 GEM_FUSE_CHUNK=1024
+# pass-A=gather A/B at the same geometry FIRST (VERDICT #1 lever: removes
+# the second one-hot build + pass-A dot if Mosaic lowers the lane gather)
+run_phase fusek_1m_gather_t1024 "{\"name\":\"fusek_1m_gather_t1024\",$FK}" 3000 GEM_FUSE_PASSA=gather GEM_FUSE_TILE=1024 GEM_FUSE_CHUNK=1024
 run_phase fusek_1m_t512_c512  "{\"name\":\"fusek_1m_t512_c512\",$FK}" 3000 GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=512
 run_phase fusek_1m_t512_c256  "{\"name\":\"fusek_1m_t512_c256\",$FK}" 3000 GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=256
 run_phase fusek_1m_t256_c256  "{\"name\":\"fusek_1m_t256_c256\",$FK}" 3000 GEM_FUSE_TILE=256 GEM_FUSE_CHUNK=256
+run_phase fusek_1m_gather_t512 "{\"name\":\"fusek_1m_gather_t512\",$FK}" 3000 GEM_FUSE_PASSA=gather GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=512
+run_phase fusek_1m_gather_t256 "{\"name\":\"fusek_1m_gather_t256\",$FK}" 3000 GEM_FUSE_PASSA=gather GEM_FUSE_TILE=256 GEM_FUSE_CHUNK=256
 run_phase fusek_1m_t512_c1024 "{\"name\":\"fusek_1m_t512_c1024\",$FK}" 3000 GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=1024
 run_phase fusek_1m_t1024_c512 "{\"name\":\"fusek_1m_t1024_c512\",$FK}" 3000 GEM_FUSE_TILE=1024 GEM_FUSE_CHUNK=512
 run_phase fusek_1m_t768_c768  "{\"name\":\"fusek_1m_t768_c768\",$FK}" 3000 GEM_FUSE_TILE=768 GEM_FUSE_CHUNK=768
@@ -89,8 +94,14 @@ run_phase fusek_1m_t128_c128  "{\"name\":\"fusek_1m_t128_c128\",$FK}" 3000 GEM_F
 # --- step-level confirms at the promising cells ----------------------------
 ST='"phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3'
 run_phase step_1m_t512_c512 "{\"name\":\"step_1m_t512_c512\",$ST}" 3000 GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=512
+run_phase step_1m_gather_t512 "{\"name\":\"step_1m_gather_t512\",$ST}" 3000 GEM_FUSE_PASSA=gather GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=512
 run_phase step_1m_t256_c256 "{\"name\":\"step_1m_t256_c256\",$ST}" 3000 GEM_FUSE_TILE=256 GEM_FUSE_CHUNK=256
 run_phase step_1m_t512_c256 "{\"name\":\"step_1m_t512_c256\",$ST}" 3000 GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=256
+
+# --- fully-colored 1M row (camera on, real rgb): the >=80 M pts/s target ---
+SC='"phase":"step","fuse":"stream","feature_backend":"pallas","points":1048576,"colored":true,"n_frames":2,"k_lo":2,"k_hi":12,"trials":3'
+run_phase step_1m_col_default "{\"name\":\"step_1m_col_default\",$SC}" 3000
+run_phase step_1m_col_t512 "{\"name\":\"step_1m_col_t512\",$SC}" 3000 GEM_FUSE_TILE=512 GEM_FUSE_CHUNK=512
 
 # --- 4M LiDAR row: geometry also point-bound there -------------------------
 B4='"phase":"step","fuse":"stream","feature_backend":"pallas","points":4194304,"raytrace_every":10,"color":false,"n_frames":2,"k_lo":2,"k_hi":8,"trials":3'
