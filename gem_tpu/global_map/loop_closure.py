@@ -261,33 +261,56 @@ def schedule_rounds(pairs: list) -> tuple[np.ndarray, np.ndarray]:
     return rounds, valid
 
 
+def slot_corrections(store: SubmapStore, opt_poses):
+    """Map trajectory-indexed optimized poses onto ring slots by keyframe id.
+
+    `opt_poses` is (K', 7) indexed by GLOBAL keyframe id, exactly like the
+    reference's globalMap_ vector (src/ElevationMapping.cpp:784-786, clamped
+    the same way).  After the ring wraps (num_submaps > K) slot order is
+    rotated, so each slot is matched through its stored `kf_ids` entry
+    instead of positionally.  Returns host-side numpy
+    (opt_full (K, 7), participates (K,), transform_mask (K,)) where
+    transform_mask additionally excludes keyframe 0, the reference's rigid
+    anchor (src/ElevationMapping.cpp:794)."""
+    K = store.counts.shape[0]
+    ids = np.asarray(jax.device_get(store.kf_ids))
+    opt_np = np.asarray(opt_poses, np.float32).reshape(-1, 7)
+    n_opt = int(min(opt_np.shape[0], int(store.num_submaps)))
+    participates = (ids >= 0) & (ids < n_opt)
+    opt_full = np.asarray(jax.device_get(store.poses)).copy()
+    opt_full[participates] = opt_np[ids[participates]]
+    transform_mask = participates & (ids != 0)
+    return opt_full, participates, transform_mask
+
+
 def apply_loop_closure(store: SubmapStore, cfg: PipelineConfig,
                        opt_poses) -> tuple[SubmapStore, dict]:
     """Full re-stitch: correct submap poses, re-transform stacked clouds,
-    re-fuse overlapping pairs.  `opt_poses` is (K', 7) for the first K'
-    submaps (clamped like src/ElevationMapping.cpp:784-786)."""
-    K = store.counts.shape[0]
-    n = int(min(np.asarray(opt_poses).shape[0], int(store.num_submaps), K))
+    re-fuse overlapping pairs.  `opt_poses` is (K', 7) indexed by global
+    keyframe id (clamped like src/ElevationMapping.cpp:784-786); slots are
+    matched by their stored keyframe id, so the pairing survives ring wrap."""
+    opt_full, part, tmask = slot_corrections(store, opt_poses)
+    n = int(part.sum())
     if n == 0:
         return store, {"n_corrected": 0, "n_pairs": 0, "n_cells_fused": 0}
 
-    opt = jnp.asarray(np.asarray(opt_poses)[:n], jnp.float32)
-    traj = store.poses[:n]
-    T = relative_transforms(opt, traj)
-    # reference skips i == 0 (src/ElevationMapping.cpp:794)
-    T = T.at[0].set(jnp.eye(4))
-
-    full_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1))
-    full_T = full_T.at[:n].set(T)
+    opt = jnp.asarray(opt_full, jnp.float32)
+    T = relative_transforms(opt, store.poses)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), T.shape)
+    full_T = jnp.where(jnp.asarray(tmask)[:, None, None], T, eye)
     slots = transform_submaps(store.slots, full_T)
-    poses = store.poses.at[:n].set(opt)
-    centers = store.centers.at[:n].set(opt[:, :2])
+    part_dev = jnp.asarray(part)
+    poses = jnp.where(part_dev[:, None], opt, store.poses)
+    centers = jnp.where(part_dev[:, None], opt[:, :2], store.centers)
 
     # overlap pairs among corrected submaps (center distance < radius),
     # bounded at nearest-M per submap and batched into vertex-disjoint
     # rounds so the device-serial chain is O(rounds), not O(pairs)
-    pairs = select_pairs(np.asarray(centers[:n]), cfg.submap.overlap_radius,
-                         cfg.submap.max_pairs_per_submap)
+    idx = np.nonzero(part)[0]
+    centers_np = np.asarray(jax.device_get(centers))
+    sub_pairs = select_pairs(centers_np[idx], cfg.submap.overlap_radius,
+                             cfg.submap.max_pairs_per_submap)
+    pairs = [(int(idx[i]), int(idx[j])) for i, j in sub_pairs]
 
     res = cfg.submap.dedup_cell_quantum or cfg.map.resolution
     n_cells = 0

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gem_tpu.config import PipelineConfig
 from gem_tpu.global_map.loop_closure import (refuse_pair,
                                              relative_transforms,
+                                             slot_corrections,
                                              transform_submaps)
 from gem_tpu.global_map.submaps import PointBuffer, SubmapStore
 
@@ -55,6 +56,7 @@ def shard_store(store: SubmapStore, mesh: Mesh, axis: str = "shard"
         counts=place(store.counts, sharded),
         centers=place(store.centers, sharded),
         poses=place(store.poses, sharded),
+        kf_ids=place(store.kf_ids, sharded),
         num_submaps=place(store.num_submaps, repl),
         accum=jax.tree.map(lambda a: place(a, repl), store.accum),
         accum_count=place(store.accum_count, repl),
@@ -168,17 +170,12 @@ def _build_sharded_loop_closure(cfg: PipelineConfig, mesh: Mesh,
 
 def apply_sharded_loop_closure(store: SubmapStore, cfg: PipelineConfig,
                                opt_poses, mesh: Mesh, axis: str = "shard"):
-    """Host-side wrapper: pad the optimized poses to the full ring, run the
+    """Host-side wrapper: map trajectory-indexed poses onto ring slots by
+    keyframe id (ring-wrap safe, see loop_closure.slot_corrections), run the
     SPMD body, and rebuild the store."""
-    K = cfg.submap.max_submaps
-    n = int(min(np.asarray(opt_poses).shape[0], int(store.num_submaps), K))
-    opt_full = np.asarray(jax.device_get(store.poses)).copy()
-    transform_mask = np.zeros(K, bool)
-    participates = np.zeros(K, bool)
-    if n > 0:
-        opt_full[:n] = np.asarray(opt_poses)[:n]
-        participates[:n] = True
-        transform_mask[1:n] = True     # slot 0 is the rigid-transform anchor
+    opt_full, participates, transform_mask = slot_corrections(store,
+                                                              opt_poses)
+    n = int(participates.sum())
     fn = sharded_loop_closure(cfg, mesh, axis)
     sharded = NamedSharding(mesh, P(axis))
     opt_dev = jax.device_put(jnp.asarray(opt_full, jnp.float32), sharded)

@@ -60,7 +60,8 @@ class SubmapStore:
     counts: jax.Array             # (K,) i32
     centers: jax.Array            # (K, 2) keyframe xy (localMapLoc_)
     poses: jax.Array              # (K, 7) keyframe pose [xyz, quat wxyz]
-    num_submaps: jax.Array        # () i32 (<= K; ring overwrites oldest)
+    num_submaps: jax.Array        # () i32 (total finalized; ring overwrites oldest)
+    kf_ids: jax.Array             # (K,) i32 global keyframe id per slot (-1 empty)
     accum: PointBuffer            # (capacity,) current-submap accumulator
     accum_count: jax.Array        # () i32
     dropped: jax.Array            # () i32 total points lost to capacity
@@ -91,6 +92,7 @@ def init_store(cfg: PipelineConfig) -> SubmapStore:
         centers=jnp.zeros((K, 2), jnp.float32),
         poses=jnp.zeros((K, 7), jnp.float32).at[:, 3].set(1.0),
         num_submaps=jnp.int32(0),
+        kf_ids=jnp.full((K,), -1, jnp.int32),
         accum=empty_buffer((C,)),
         accum_count=jnp.int32(0),
         dropped=jnp.int32(0),
@@ -175,8 +177,11 @@ def append_shed(store: SubmapStore, shed: ShedCells) -> SubmapStore:
     (1.27 ms/frame at 1M pts, bench/results/PROFILE_r3.md)."""
     S = store.staging.x.shape[0]
     # Staging rows are sized for move()'s fixed shed band; an ad-hoc shed of
-    # any other width (tests, tools) compacts immediately instead.
+    # any other width (tests, tools) compacts immediately instead — after
+    # flushing pending staged bands so accumulator frame order holds
+    # unconditionally (earlier staged frames precede this one).
     if S == 0 or shed.x.shape[-1] != store.staging.x.shape[-1]:
+        store = flush_staging(store)
         accum, cnt, dropped = _compact_append(store.accum, store.accum_count,
                                               shed_to_buffer(shed))
         return store.replace(accum=accum, accum_count=cnt,
@@ -260,6 +265,11 @@ def finalize_submap(store: SubmapStore, grid_points: PointBuffer,
         centers=store.centers.at[slot].set(pose[:2]),
         poses=store.poses.at[slot].set(pose),
         num_submaps=store.num_submaps + 1,
+        # Monotonic global keyframe id: after the ring wraps, loop closure
+        # pairs trajectory-indexed opt_poses to slots by this id, matching
+        # the reference's index-aligned globalMap_ vector
+        # (src/ElevationMapping.cpp:784-808) despite the slot rotation.
+        kf_ids=store.kf_ids.at[slot].set(store.num_submaps.astype(jnp.int32)),
         accum=empty_buffer((C,)),
         accum_count=jnp.int32(0),
         dropped=store.dropped + dropped,

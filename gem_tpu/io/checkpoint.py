@@ -37,25 +37,58 @@ def save_checkpoint(path: str, state: PipelineState, extra: dict | None = None):
     np.savez_compressed(path, **flat)
 
 
+# Leaves that may legitimately be absent from older checkpoints (added after
+# the npz schema shipped) and whose init values are safe substitutes.  Any
+# OTHER missing leaf is an error: a truncated/corrupted npz or a renamed
+# field must not load silently with zeroed state.
+_OPTIONAL_LEAF_TOKENS = ("staging", "kf_ids")
+
+
 def load_checkpoint(path: str, cfg: PipelineConfig) -> tuple[PipelineState, dict]:
     """Rebuild a PipelineState (template from cfg) plus any extras."""
+    import warnings
+
     data = np.load(path)
     template = init_pipeline_state(cfg)
     flat, treedef = _flatten_with_paths(template)
     leaves = []
+    substituted = []
     for key in flat:
         if key not in data:
-            # Forward compat: leaves added after the checkpoint was written
-            # (e.g. the submap staging ring) fall back to their init values.
-            # Safe only for leaves whose init state is "empty"; anything
-            # load-bearing existed when the file was saved.
+            if not any(tok in key for tok in _OPTIONAL_LEAF_TOKENS):
+                raise KeyError(
+                    f"checkpoint {path!r} is missing required leaf {key!r} "
+                    f"(truncated/corrupted file, or a config whose state "
+                    f"shapes don't match the save?)")
+            # Forward compat: known-added leaves fall back to init values.
             leaves.append(flat[key])
+            substituted.append(key)
             continue
         leaves.append(jax.numpy.asarray(data[key]))
     state = jax.tree_util.tree_unflatten(treedef, leaves)
+    if substituted:
+        warnings.warn(f"checkpoint {path!r} predates leaves "
+                      f"{substituted}; substituted init values")
+        state = _reconstruct_kf_ids(state, substituted)
     extra = {k.split("/", 1)[1]: data[k] for k in data.files
              if k.startswith("__extra__/")}
     return state, extra
+
+
+def _reconstruct_kf_ids(state: PipelineState, substituted: list):
+    """Old checkpoints predate SubmapStore.kf_ids; rebuild the ids exactly
+    from the ring arithmetic: slot s last held keyframe
+    num - 1 - ((num - 1 - s) mod K) (negative => never written)."""
+    if not any(k.endswith("kf_ids") for k in substituted):
+        return state
+    sub = state.submaps
+    K = sub.counts.shape[0]
+    num = int(sub.num_submaps)
+    s = np.arange(K)
+    ids = num - 1 - ((num - 1 - s) % K) if num > 0 else np.full(K, -1)
+    ids = np.where(ids >= 0, ids, -1).astype(np.int32)
+    return dataclasses.replace(
+        state, submaps=sub.replace(kf_ids=jax.numpy.asarray(ids)))
 
 
 # ---------------------------------------------------------------------------

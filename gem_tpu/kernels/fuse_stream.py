@@ -106,10 +106,19 @@ _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 # pass-A one-hot source: "build" = second iota-compare (default),
 # "transpose" = MXU/vector transpose of the pass-B one-hot
 _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
-# pass-A mechanism: "dot" = one-hot MXU broadcast (default, measured);
+# pass-A mechanism: "dot" = one-hot MXU broadcast (round-3 default);
 # "gather" = per-point in-kernel take_along_axis from the VMEM tile —
-# removes the second one-hot build + dot entirely IF Mosaic lowers the
-# sublane gather (A/B on real TPU; interpret-mode tests cover semantics)
+# RETIRED on hardware: Mosaic's tpu.dynamic_gather cannot cross vregs
+# along the gather dim ("Multiple source vregs along gather dimension"),
+# and a TILE-wide lane gather spans TILE/128 vregs (round-3b sweep +
+# round-4a fusek_1m_gather_*; kept for interpret-mode reference only);
+# "scan" = NO pass A at all: the map prior rides the point matrix (one
+# XLA sorted-indices gather before the kernel) and the start-row anchor
+# is propagated in-chunk by a segmented lane max-scan with a cross-chunk
+# scalar carry.  This also fuses pass B1 into pass B2 — ONE one-hot and
+# ONE MXU dot per chunk instead of two builds + three dots whose skinny
+# output dims each pad to the MXU's 128-row tile (the round-3 trace's
+# ~4x headroom).
 _PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
 # color argmin-v mechanism: "sweep" = dense (CHUNK, TILE) masked min sweep
 # (round-2 baseline; O(CHUNK*TILE) VPU work per chunk — the dominant kernel

@@ -35,8 +35,13 @@ def merge_fleet_stores(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
 
     # One batched gather instead of the round-1 per-slot host loop (which
     # dispatched an .at[].set program per (robot, slot) — O(R*K) dispatches).
-    num = np.asarray(fleet_submaps.num_submaps)
-    sel = [(r, k) for r in range(R) for k in range(min(int(num[r]), K))]
+    # Slots are taken in per-robot TRAJECTORY order (sorted by keyframe id),
+    # so merged order stays id-faithful even after a robot's ring wrapped.
+    ids = np.asarray(fleet_submaps.kf_ids)
+    sel = []
+    for r in range(R):
+        occupied = [(int(ids[r, k]), k) for k in range(K) if ids[r, k] >= 0]
+        sel.extend((r, k) for _, k in sorted(occupied))
     sel = sel[:total]
     out = len(sel)
     if out == 0:
@@ -54,6 +59,8 @@ def merge_fleet_stores(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
             fleet_submaps.centers[r_idx, k_idx]),
         poses=merged.poses.at[:out].set(fleet_submaps.poses[r_idx, k_idx]),
         num_submaps=jnp.int32(out),
+        # Joint opt_poses are indexed by merged order, so ids restart 0..out.
+        kf_ids=merged.kf_ids.at[:out].set(jnp.arange(out, dtype=jnp.int32)),
     )
 
 

@@ -390,3 +390,84 @@ def test_loop_closure_k256_stress_bounded():
     # event is one short scan, not a 65k-long serial chain (which took
     # minutes before the cap)
     assert t_dev < 300.0, f"K=256 loop-closure event took {t_dev:.1f}s"
+
+
+def _one_point_grid(x, z=1.0):
+    return sm.PointBuffer(
+        x=jnp.asarray([float(x)]), y=jnp.asarray([0.0]),
+        z=jnp.asarray([float(z)]), variance=jnp.asarray([0.01]),
+        intensity=jnp.asarray([0.0]), traver=jnp.asarray([0.5]),
+        color=jnp.zeros(1, jnp.int32), valid=jnp.ones(1, bool))
+
+
+def test_loop_closure_after_ring_wrap():
+    """After num_submaps > K the ring's slot order is rotated; opt poses are
+    trajectory-indexed (reference globalMap_, ElevationMapping.cpp:784-808),
+    so pairing must go through kf_ids, not slot position."""
+    cfg = _cfg()
+    K = cfg.submap.max_submaps          # 4
+    store = sm.init_store(cfg)
+    n_total = 6                          # wraps: slots hold ids [4, 5, 2, 3]
+    for i in range(n_total):
+        pose = np.asarray([float(i), 0, 0, 1, 0, 0, 0], np.float32)
+        store = sm.finalize_submap(store, _one_point_grid(10.0 + i), pose)
+    assert int(store.num_submaps) == n_total
+    np.testing.assert_array_equal(np.asarray(store.kf_ids), [4, 5, 2, 3])
+
+    # optimisation shifts keyframe i by dx = 100*i
+    opt = np.zeros((n_total, 7), np.float32)
+    opt[:, 3] = 1.0
+    for i in range(n_total):
+        opt[i, 0] = i + 100.0 * i
+    new, stats = apply_loop_closure(store, cfg, opt)
+    assert stats["n_corrected"] == K     # only the K resident submaps
+    ids = np.asarray(new.kf_ids)
+    for s in range(K):
+        i = int(ids[s])
+        # the slot holding keyframe i moved by exactly 100*i
+        np.testing.assert_allclose(np.asarray(new.slots.x[s, 0]),
+                                   10.0 + i + 100.0 * i, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(new.poses[s, 0]),
+                                   i + 100.0 * i, atol=1e-5)
+
+
+def test_loop_closure_wrap_short_opt_poses():
+    """opt_poses shorter than the trajectory: only resident submaps whose
+    keyframe id < len(opt_poses) are corrected (clamp semantics,
+    ElevationMapping.cpp:784-786)."""
+    cfg = _cfg()
+    store = sm.init_store(cfg)
+    for i in range(6):                   # slots hold ids [4, 5, 2, 3]
+        pose = np.asarray([float(i), 0, 0, 1, 0, 0, 0], np.float32)
+        store = sm.finalize_submap(store, _one_point_grid(10.0 + i), pose)
+    opt = np.zeros((4, 7), np.float32)   # covers ids 0..3 -> resident 2, 3
+    opt[:, 3] = 1.0
+    for i in range(4):
+        opt[i, 0] = i + 50.0
+    new, stats = apply_loop_closure(store, cfg, opt)
+    assert stats["n_corrected"] == 2
+    ids = np.asarray(new.kf_ids)
+    for s in range(4):
+        i = int(ids[s])
+        want = 10.0 + i + (50.0 if i < 4 else 0.0)
+        np.testing.assert_allclose(np.asarray(new.slots.x[s, 0]), want,
+                                   atol=1e-4)
+
+
+def test_checkpoint_reconstructs_kf_ids():
+    """Old npz checkpoints predate kf_ids; the loader rebuilds them exactly
+    from num_submaps + ring arithmetic (wrapped case)."""
+    from gem_tpu.io.checkpoint import _reconstruct_kf_ids
+    from gem_tpu.mapping.pipeline import init_pipeline_state
+    import dataclasses
+
+    cfg = _cfg()
+    state = init_pipeline_state(cfg)
+    sub = state.submaps
+    for num, want in [(0, [-1, -1, -1, -1]), (3, [0, 1, 2, -1]),
+                      (4, [0, 1, 2, 3]), (6, [4, 5, 2, 3]),
+                      (9, [8, 5, 6, 7])]:
+        st = dataclasses.replace(
+            state, submaps=sub.replace(num_submaps=jnp.int32(num)))
+        out = _reconstruct_kf_ids(st, ["submaps/kf_ids"])
+        np.testing.assert_array_equal(np.asarray(out.submaps.kf_ids), want)

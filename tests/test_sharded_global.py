@@ -110,3 +110,37 @@ def test_uncorrected_submaps_untouched():
     assert var[2, 0] == np.float32(0.2) and var[3, 0] == np.float32(0.4)
     # corrected pair 0/1 did fuse
     assert z[0, 0] != 0.0
+
+
+def test_sharded_matches_unsharded_after_wrap():
+    """Ring wrapped (num_submaps > K): both paths must pair trajectory-
+    indexed opt poses to slots via kf_ids and agree with each other."""
+    cfg = PipelineConfig(map=MapConfig(length=8, resolution=0.5),
+                         submap=SubmapConfig(max_submaps=8, capacity=16,
+                                             overlap_radius=4.0))
+    n_total = 11                          # K=8 -> slots hold ids 3..10 rotated
+    store = _store_with_submaps(cfg, n_total)
+    assert int(store.num_submaps) == n_total
+    opt = np.zeros((n_total, 7), np.float32)
+    opt[:, 3] = 1.0
+    for i in range(n_total):
+        opt[i, 0] = i * 3.0 + 0.1 * i     # per-keyframe drift correction
+
+    ref_store, ref_stats = apply_loop_closure(store, cfg, opt)
+    assert ref_stats["n_corrected"] == 8
+
+    mesh = make_mesh(4, axis="shard")
+    sstore = shard_store(store, mesh)
+    got_store, stats = apply_sharded_loop_closure(sstore, cfg, opt, mesh)
+    assert stats["n_corrected"] == 8
+    np.testing.assert_allclose(np.asarray(jax.device_get(got_store.poses)),
+                               np.asarray(jax.device_get(ref_store.poses)),
+                               atol=1e-5)
+    gx = np.asarray(jax.device_get(got_store.slots.x))
+    rx = np.asarray(jax.device_get(ref_store.slots.x))
+    np.testing.assert_allclose(gx, rx, atol=1e-5)
+    # every resident slot's point moved by its own keyframe's correction
+    ids = np.asarray(jax.device_get(store.kf_ids))
+    for s in range(8):
+        i = int(ids[s])
+        np.testing.assert_allclose(gx[s, 0], i * 3.0 + 0.1 * i, atol=1e-4)
