@@ -397,6 +397,185 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
+def _kernel_scan(starts_ref, pts_ref, stats_ref, buf, sem, *,
+                 mcfg, CHUNK, TILE, with_lowest, with_color):
+    """PASSA=scan variant: same 16 aggregate rows as `_kernel`, produced by
+    ONE one-hot build and ONE MXU dot per chunk.
+
+    Structural deltas vs `_kernel` (same semantics, tested row-for-row):
+
+    * No pass A.  The map prior (e0, v0) rides the point matrix as rows
+      6/7 — one XLA `take` on the sorted cell ids before the kernel — and
+      the start-row anchor (h, v of each cell's first sorted row) is
+      propagated to every point of the segment by a rolled log-step
+      copy-forward scan over the chunk row (exactly one start lane per
+      segment, so an independent max-scan of `start ? h : -inf` and
+      `start ? v : -inf` recovers the pair).  Segments crossing a chunk
+      boundary take the anchor from the fori_loop carry (cell id + h + v
+      of the previous chunk's last lane).
+    * `is_start` is recomputed in-kernel from the sorted stream (previous
+      lane / carry holds a different cell) which frees a point-matrix row,
+      so the colored layout still fits _ROWS=8:
+        0 cell  1 h  2 v  3 is_end  4 inten  5 colf  6 e0  7 v0
+      (`has_color` is re-derived from rows 4/5 in-kernel.)
+    * Pass B1, pass B2 and the color placement dot fuse into a single
+      (CHUNK, 15) x (CHUNK, TILE) dot_general: each separate skinny dot
+      pads its output sublane dim to the MXU's 128-row tile, so the
+      round-3 layout paid 3-4 full MXU passes per chunk for <=16 useful
+      rows (xprof trace, bench/results/PROFILE_r3.md) — this variant pays
+      one.
+    * The color argmin-v segmented scan runs unconditionally (it is
+      (1, CHUNK) row work, ~1% of the one-hot build); its placement
+      columns ride the same dot and decode exactly like _COLOR="scan".
+
+    Reference anchor: G_fuse (gpu_process.cu:477-537); see module
+    docstring for the sorted-stream proof obligations.
+    """
+    t = pl.program_id(0)
+    base = (t * TILE).astype(jnp.float32)
+    p_lo = starts_ref[t]
+    p_hi = starts_ref[t + 1]
+    aligned = (p_lo // 128) * 128
+    n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
+
+    stats_ref[0:12, :] = jnp.zeros((12, TILE), jnp.float32)
+    stats_ref[12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def get_dma(slot, j):
+        off = pl.multiple_of(aligned + j * CHUNK, 128)
+        return pltpu.make_async_copy(
+            pts_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def seg_same(cl_i, kk):
+        return (pltpu.roll(cl_i, kk, 1) == cl_i) & (lane1 >= kk)
+
+    def chunk_body(j, carry):
+        carry_cell, carry_sth, carry_stv = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, j + 1).start()
+        get_dma(slot, j).wait()
+        p = buf[slot]                          # (8, CHUNK)
+        cl_i = (p[0:1, :] - base).astype(jnp.int32)
+        onehot = jnp.where(jnp.transpose(cl_i) == lane, 1.0, 0.0)
+        h = p[1:2, :]
+        v = p[2:3, :]
+        isend = p[3:4, :]
+        e0_pt = p[6:7, :]
+        v0_pt = p[7:8, :]
+
+        prev = jnp.where(lane1 == 0, carry_cell, pltpu.roll(cl_i, 1, 1))
+        isst_b = cl_i != prev
+        isst = isst_b.astype(jnp.float32)
+
+        # copy-forward (h, v) from each segment's unique start lane; then
+        # overwrite still-unseeded lanes continuing the carry cell
+        ah = jnp.where(isst_b, h, -_INF)
+        av = jnp.where(isst_b, v, -_INF)
+        kk = 1
+        while kk < CHUNK:
+            same = seg_same(cl_i, kk)
+            ah = jnp.maximum(ah, jnp.where(same, pltpu.roll(ah, kk, 1),
+                                           -_INF))
+            av = jnp.maximum(av, jnp.where(same, pltpu.roll(av, kk, 1),
+                                           -_INF))
+            kk *= 2
+        cont = (ah == -_INF) & (cl_i == carry_cell)
+        sth = jnp.where(cont, carry_sth, ah)
+        stv = jnp.where(cont, carry_stv, av)
+
+        # --- gate (identical math to _kernel) -------------------------------
+        empty = e0_pt == mcfg.invalid_elevation
+        anchor_e = jnp.where(empty, sth, e0_pt)
+        anchor_v = jnp.where(empty, jnp.maximum(stv, mcfg.min_variance),
+                             v0_pt)
+        band = mcfg.mahalanobis_threshold * jnp.sqrt(anchor_v)
+        inl = jnp.abs(h - anchor_e) <= band
+        inl_f = inl.astype(jnp.float32)
+        w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
+        argout = isst * (~inl).astype(jnp.float32)
+        z = jnp.zeros_like(h)
+        low_c = isend * (h + 3.0 * v) if with_lowest else z
+
+        cols = [isst * h, isst * v, isst]
+        if with_color:
+            inten = p[4:5, :]
+            colf = p[5:6, :]
+            ci = colf.astype(jnp.int32)        # packed rgb < 2^24: exact
+            hc = ((((ci >> 16) & 0xFF) * ((ci >> 8) & 0xFF) * (ci & 0xFF)
+                   != 0) & (inten != 0.0)).astype(jnp.float32)
+            oc = argout * hc
+            cols += [inl_f * w, inl_f * w * h, argout,
+                     oc, oc * v, oc * colf, oc * inten, low_c]
+            contrib = (inl_f * hc) > 0.5
+            vrow = jnp.where(contrib, v, _INF)
+            crow = jnp.where(contrib, colf, _INF)
+            irow = jnp.where(contrib, inten, _INF)
+            kk = 1
+            while kk < CHUNK:
+                same = seg_same(cl_i, kk)
+                pv = jnp.where(same, pltpu.roll(vrow, kk, 1), _INF)
+                pc = jnp.where(same, pltpu.roll(crow, kk, 1), _INF)
+                pi = jnp.where(same, pltpu.roll(irow, kk, 1), _INF)
+                lt = pv < vrow
+                eqv = pv == vrow
+                crow = jnp.where(
+                    lt, pc, jnp.where(eqv, jnp.minimum(crow, pc), crow))
+                irow = jnp.where(
+                    lt, pi, jnp.where(eqv, jnp.minimum(irow, pi), irow))
+                vrow = jnp.minimum(vrow, pv)
+                kk *= 2
+            is_last = ((pltpu.roll(cl_i, CHUNK - 1, 1) != cl_i)
+                       | (lane1 == CHUNK - 1))
+            fin = is_last & (vrow < _INF)
+            cols += [fin.astype(jnp.float32),
+                     jnp.where(fin, vrow, 0.0),
+                     jnp.where(fin, crow, 0.0),
+                     jnp.where(fin, irow, 0.0)]
+        else:
+            cols += [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c]
+
+        b = jnp.transpose(jnp.concatenate(cols, axis=0))   # (C, 11|15)
+        if "nomm" in _ABLATE:
+            s = jnp.broadcast_to(jnp.sum(b, axis=0)[:, None],
+                                 (b.shape[1], TILE))
+        else:
+            s = jax.lax.dot_general(b, onehot, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        stats_ref[0:3, :] += s[0:3, :]
+        stats_ref[4:12, :] += s[3:11, :]
+        if with_color:
+            has = s[11, :] > 0.0
+            vc_chunk = jnp.where(has, s[12, :], _INF)
+            vc_old = stats_ref[12, :]
+            lt = vc_chunk < vc_old
+            eq = vc_chunk == vc_old
+            pay_old = stats_ref[13:15, :]
+            pay_chunk = jnp.stack([jnp.where(has, s[13, :], _INF),
+                                   jnp.where(has, s[14, :], _INF)])
+            stats_ref[13:15, :] = jnp.where(
+                lt[None, :], pay_chunk,
+                jnp.where(eq[None, :], jnp.minimum(pay_old, pay_chunk),
+                          pay_old))
+            stats_ref[12, :] = jnp.minimum(vc_old, vc_chunk)
+
+        last = CHUNK - 1
+        return (cl_i[0, last], sth[0, last], stv[0, last])
+
+    jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        (jnp.int32(-(1 << 30)), jnp.float32(0.0), jnp.float32(0.0)))
+
+
 def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
                 with_lowest: bool = True, with_color: bool = True,
                 interpret: bool = False) -> MapState:
@@ -423,11 +602,13 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             num_keys=3)
         # has_color is a pure function of the sorted color/intensity rows —
         # deriving it POST-sort drops a whole co-sorted operand (sort cost
-        # scales with operand count; round-2 profile: 3.4 ms at 1M)
-        col_i = colf_s.astype(jnp.int32)
-        hc_s = ((((col_i >> 16) & 0xFF) * ((col_i >> 8) & 0xFF)
-                 * (col_i & 0xFF) != 0)
-                & (inten_s != 0)).astype(jnp.float32)
+        # scales with operand count; round-2 profile: 3.4 ms at 1M); the
+        # scan kernel re-derives it in-kernel from rows 4/5 instead
+        if _PASSA != "scan":
+            col_i = colf_s.astype(jnp.int32)
+            hc_s = ((((col_i >> 16) & 0xFF) * ((col_i >> 8) & 0xFF)
+                     * (col_i & 0xFF) != 0)
+                    & (inten_s != 0)).astype(jnp.float32)
     else:
         ids_s, negh_s, v_s = jax.lax.sort(
             [ids, -batch.height, batch.variance], num_keys=3)
@@ -441,15 +622,34 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
     # one concatenate -> (8, Ppad): point axis padded so the last chunk's
     # fixed-size DMA stays in bounds (pad id = beyond every tile => masked)
-    rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
-            -negh_s,                      # h
-            v_s,
-            is_start.astype(jnp.float32)]
     zrow = jnp.zeros((P,), jnp.float32)
-    if with_color:
-        rows += [inten_s, colf_s, hc_s, is_end.astype(jnp.float32)]
+    if _PASSA == "scan":
+        # scan layout (see _kernel_scan): prior rides rows 6/7 via one
+        # sorted-index take; is_start / has_color re-derived in-kernel
+        idx = jnp.minimum(ids_s, ncell - 1)    # pad/invalid ids: clamped
+        e0_s = jnp.take(state.elevation.reshape(-1), idx,
+                        indices_are_sorted=True)
+        v0_s = jnp.take(
+            jnp.maximum(state.variance.reshape(-1), mcfg.min_variance),
+            idx, indices_are_sorted=True)
+        rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
+                -negh_s,                      # h
+                v_s,
+                is_end.astype(jnp.float32)]
+        if with_color:
+            rows += [inten_s, colf_s]
+        else:
+            rows += [zrow, zrow]
+        rows += [e0_s, v0_s]
     else:
-        rows += [zrow, zrow, zrow, is_end.astype(jnp.float32)]
+        rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
+                -negh_s,                      # h
+                v_s,
+                is_start.astype(jnp.float32)]
+        if with_color:
+            rows += [inten_s, colf_s, hc_s, is_end.astype(jnp.float32)]
+        else:
+            rows += [zrow, zrow, zrow, is_end.astype(jnp.float32)]
     pad = jnp.full((CHUNK,), float(cpad + TILE), jnp.float32)
     zpad = jnp.zeros((CHUNK,), jnp.float32)
     pts = jnp.concatenate(
@@ -465,37 +665,58 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
         return jnp.pad(flat, (0, cpad - ncell),
                        constant_values=fill).reshape(n_tiles, 1, TILE)
 
-    elev0 = tiles(state.elevation, mcfg.invalid_elevation)
-    var0 = tiles(jnp.maximum(state.variance, mcfg.min_variance),
-                 mcfg.invalid_variance)
+    if _PASSA != "scan":
+        elev0 = tiles(state.elevation, mcfg.invalid_elevation)
+        var0 = tiles(jnp.maximum(state.variance, mcfg.min_variance),
+                     mcfg.invalid_variance)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                # pts
-            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),            # elev0
-            pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),            # var0
-        ],
-        out_specs=pl.BlockSpec((_STATS, TILE), lambda t, *_: (0, t),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),       # chunk buffers
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kern = functools.partial(_kernel, mcfg=mcfg, CHUNK=CHUNK, TILE=TILE,
-                             with_lowest=with_lowest, with_color=with_color)
-    stats = pl.pallas_call(
-        kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
-        # the dense color branch's (CHUNK, TILE) temps exceed the default
-        # 16 MB scoped-vmem cap at larger CHUNK; the chip has 128 MB
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
-        interpret=interpret,
-    )(starts, pts, elev0, var0)
+    out_spec = pl.BlockSpec((_STATS, TILE), lambda t, *_: (0, t),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),           # chunk buffers
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    # the dense color branch's (CHUNK, TILE) temps exceed the default
+    # 16 MB scoped-vmem cap at larger CHUNK; the chip has 128 MB
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20)
+    if _PASSA == "scan":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],     # pts
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        kern = functools.partial(
+            _kernel_scan, mcfg=mcfg, CHUNK=CHUNK, TILE=TILE,
+            with_lowest=with_lowest, with_color=with_color)
+        stats = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
+            compiler_params=cparams, interpret=interpret,
+        )(starts, pts)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # pts
+                pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # elev0
+                pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # var0
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        kern = functools.partial(
+            _kernel, mcfg=mcfg, CHUNK=CHUNK, TILE=TILE,
+            with_lowest=with_lowest, with_color=with_color)
+        stats = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
+            compiler_params=cparams, interpret=interpret,
+        )(starts, pts, elev0, var0)
 
     # --- dense posterior (identical math to kernels/fuse.py) ---------------
     # stat-major kernel output: this reshape is layout-free (no transpose)

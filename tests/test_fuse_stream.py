@@ -252,6 +252,81 @@ def test_stream_passa_gather_one_cell_with_scan(monkeypatch):
     _compare(a, b, atol=5e-5)
 
 
+@pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
+                                                 (1, 0.0, 1.0),
+                                                 (2, 1.0, 0.5)])
+def test_stream_passa_scan_matches_segment(monkeypatch, seed, occ,
+                                           valid_frac):
+    """GEM_FUSE_PASSA=scan variant (round-4 single-dot kernel): the
+    ride-along prior rows + in-kernel segmented anchor scan + fused
+    15-column dot must reproduce the segment backend exactly, including
+    the lowest bound (interpret mode; on-chip A/B via bench/round4b)."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "scan")
+    rng = np.random.default_rng(seed)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, occ)
+    batch = _random_batch(rng, L, 2048, valid_frac)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_passa_scan_one_cell_carry(monkeypatch):
+    """Worst-case skew for the scan kernel's cross-chunk carry: one cell's
+    run spans many chunks, so every chunk after the first must take its
+    anchor from the fori_loop carry, not the in-chunk scan."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "scan")
+    rng = np.random.default_rng(3)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.95, one_cell=L * L // 2)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b, atol=5e-5)
+
+
+def test_stream_passa_scan_lowest_and_colorless(monkeypatch):
+    """scan variant with the lowest bound riding along and with_color=False
+    (the 7-row colorless layout shares code with the 15-row one)."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "scan")
+    rng = np.random.default_rng(7)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, 0.4, start=(11, 3))
+    batch = _random_batch(rng, L, 2048)
+    a = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         interpret=True))(st, batch)
+    monkeypatch.setattr(fs, "_PASSA", "dot")
+    c = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         interpret=True))(st, batch)
+    _compare(a, c)
+    np.testing.assert_allclose(np.asarray(a.lowest), np.asarray(c.lowest),
+                               atol=1e-6)
+    monkeypatch.setattr(fs, "_PASSA", "scan")
+    colorless = dataclasses.replace(
+        batch, color=jnp.zeros_like(batch.color),
+        intensity=jnp.zeros_like(batch.intensity))
+    d = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         with_color=False,
+                                         interpret=True))(st, colorless)
+    e = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         with_color=True,
+                                         interpret=True))(st, colorless)
+    for k in ("elevation", "variance", "lowest"):
+        np.testing.assert_allclose(np.asarray(getattr(d, k)),
+                                   np.asarray(getattr(e, k)), atol=1e-6)
+
+
 def test_stream_colorless_mode():
     """with_color=False: elevation/variance identical to the full path on a
     colorless batch; color/intensity planes pass through untouched."""
