@@ -118,7 +118,11 @@ _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
 # scalar carry.  This also fuses pass B1 into pass B2 — ONE one-hot and
 # ONE MXU dot per chunk instead of two builds + three dots whose skinny
 # output dims each pad to the MXU's 128-row tile (the round-3 trace's
-# ~4x headroom).
+# ~4x headroom).  BUT the ride-along prior costs two 1M-index XLA takes
+# at ~7.5 ms each on this chip (round4/gather1m_sorted.txt);
+# "scanp" = scan's fused single B dot + segmented anchor, with the
+# prior broadcast by the pass-A one-hot dot ((TILE, 2) LHS) instead of
+# the gather — the gather-free variant of the same restructure.
 _PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
 # color argmin-v mechanism: "sweep" = dense (CHUNK, TILE) masked min sweep
 # (round-2 baseline; O(CHUNK*TILE) VPU work per chunk — the dominant kernel
@@ -397,8 +401,9 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
-def _kernel_scan(starts_ref, pts_ref, stats_ref, buf, sem, *,
-                 mcfg, CHUNK, TILE, with_lowest, with_color):
+def _kernel_scan(starts_ref, pts_ref, *refs,
+                 mcfg, CHUNK, TILE, with_lowest, with_color,
+                 prior_dot=False):
     """PASSA=scan variant: same 16 aggregate rows as `_kernel`, produced by
     ONE one-hot build and ONE MXU dot per chunk.
 
@@ -428,9 +433,21 @@ def _kernel_scan(starts_ref, pts_ref, stats_ref, buf, sem, *,
       (1, CHUNK) row work, ~1% of the one-hot build); its placement
       columns ride the same dot and decode exactly like _COLOR="scan".
 
+    PASSA=scanp (`prior_dot=True`): identical except the prior does NOT
+    ride the point matrix — XLA's 1M-index gather costs ~7.5 ms on this
+    chip (bench/results/round4/gather1m_sorted.txt), swamping the kernel
+    win — so (e0, v0) are broadcast per point by the pass-A one-hot dot
+    with a (TILE, 2) LHS, exactly like `_kernel` but without the anchor
+    columns (the segmented scan supplies those).  Costs the second
+    one-hot (or a transpose, _OHT) and one extra skinny dot per chunk.
+
     Reference anchor: G_fuse (gpu_process.cu:477-537); see module
     docstring for the sorted-stream proof obligations.
     """
+    if prior_dot:
+        elev0_ref, var0_ref, stats_ref, buf, sem = refs
+    else:
+        stats_ref, buf, sem = refs
     t = pl.program_id(0)
     base = (t * TILE).astype(jnp.float32)
     p_lo = starts_ref[t]
@@ -441,6 +458,10 @@ def _kernel_scan(starts_ref, pts_ref, stats_ref, buf, sem, *,
     stats_ref[0:12, :] = jnp.zeros((12, TILE), jnp.float32)
     stats_ref[12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
 
+    if prior_dot:
+        pri2 = jnp.stack([elev0_ref[0, 0, :], var0_ref[0, 0, :]],
+                         axis=1)                               # (TILE, 2)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, CHUNK), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -470,8 +491,19 @@ def _kernel_scan(starts_ref, pts_ref, stats_ref, buf, sem, *,
         h = p[1:2, :]
         v = p[2:3, :]
         isend = p[3:4, :]
-        e0_pt = p[6:7, :]
-        v0_pt = p[7:8, :]
+        if prior_dot:
+            if _OHT == "transpose":
+                oh_tc = jnp.transpose(onehot)  # (TILE, CHUNK)
+            else:
+                oh_tc = jnp.where(cl_i == sub, 1.0, 0.0)
+            prior = jax.lax.dot_general(
+                pri2, oh_tc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (2, CHUNK)
+            e0_pt = prior[0:1, :]
+            v0_pt = prior[1:2, :]
+        else:
+            e0_pt = p[6:7, :]
+            v0_pt = p[7:8, :]
 
         prev = jnp.where(lane1 == 0, carry_cell, pltpu.roll(cl_i, 1, 1))
         isst_b = cl_i != prev
@@ -623,15 +655,20 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     # one concatenate -> (8, Ppad): point axis padded so the last chunk's
     # fixed-size DMA stays in bounds (pad id = beyond every tile => masked)
     zrow = jnp.zeros((P,), jnp.float32)
-    if _PASSA == "scan":
+    if _PASSA in ("scan", "scanp"):
         # scan layout (see _kernel_scan): prior rides rows 6/7 via one
-        # sorted-index take; is_start / has_color re-derived in-kernel
-        idx = jnp.minimum(ids_s, ncell - 1)    # pad/invalid ids: clamped
-        e0_s = jnp.take(state.elevation.reshape(-1), idx,
-                        indices_are_sorted=True)
-        v0_s = jnp.take(
-            jnp.maximum(state.variance.reshape(-1), mcfg.min_variance),
-            idx, indices_are_sorted=True)
+        # sorted-index take (scanp: prior via the in-kernel pass-A dot
+        # instead — rows 6/7 unused); is_start / has_color re-derived
+        # in-kernel
+        if _PASSA == "scan":
+            idx = jnp.minimum(ids_s, ncell - 1)  # pad/invalid ids: clamped
+            e0_s = jnp.take(state.elevation.reshape(-1), idx,
+                            indices_are_sorted=True)
+            v0_s = jnp.take(
+                jnp.maximum(state.variance.reshape(-1), mcfg.min_variance),
+                idx, indices_are_sorted=True)
+        else:
+            e0_s, v0_s = zrow, zrow
         rows = [ids_s.astype(jnp.float32),    # exact: ids <= ncell < 2^24
                 -negh_s,                      # h
                 v_s,
@@ -695,6 +732,28 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
             compiler_params=cparams, interpret=interpret,
         )(starts, pts)
+    elif _PASSA == "scanp":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # pts
+                pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # elev0
+                pl.BlockSpec((1, 1, TILE), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # var0
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+        kern = functools.partial(
+            _kernel_scan, mcfg=mcfg, CHUNK=CHUNK, TILE=TILE,
+            with_lowest=with_lowest, with_color=with_color, prior_dot=True)
+        stats = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
+            compiler_params=cparams, interpret=interpret,
+        )(starts, pts, elev0, var0)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

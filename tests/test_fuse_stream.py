@@ -293,6 +293,44 @@ def test_stream_passa_scan_one_cell_carry(monkeypatch):
     _compare(a, b, atol=5e-5)
 
 
+@pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
+                                                 (2, 1.0, 0.5)])
+def test_stream_passa_scanp_matches_segment(monkeypatch, seed, occ,
+                                            valid_frac):
+    """GEM_FUSE_PASSA=scanp: the gather-free variant (prior via pass-A
+    dot, anchor via segmented scan, single fused B dot) — exact parity
+    with the segment backend."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "scanp")
+    rng = np.random.default_rng(seed)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, occ)
+    batch = _random_batch(rng, L, 2048, valid_frac)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_passa_scanp_one_cell_carry(monkeypatch):
+    """scanp under the one-cell many-chunk skew (cross-chunk carry +
+    out-of-tile zero-prior lanes must stay inert)."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "scanp")
+    rng = np.random.default_rng(3)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.95, one_cell=L * L // 2)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b, atol=5e-5)
+
+
 def test_stream_passa_scan_lowest_and_colorless(monkeypatch):
     """scan variant with the lowest bound riding along and with_color=False
     (the 7-row colorless layout shares code with the 15-row one)."""
