@@ -313,31 +313,63 @@ def main():
         state["points_per_sec"] = max(state["points_per_sec"],
                                       hz_points / (ms * 1e-3))
 
-    # --- priority 2: points/s, big LiDAR-only frame at ref cadence --------
-    # 4M points, camera-less (the reference's YQ demo configuration),
-    # raytrace every 10th frame: large N amortises fixed per-frame work,
-    # the honest way to measure a POINTS/S figure (the Hz row covers
-    # per-frame latency).
-    row = run_phase("step_tp_big", dict(
-        step_common, points=big_points, raytrace_every=10, color=False,
-        k_lo=2, k_hi=8, trials=3))
-    if row and row.get("per_program_ms"):
-        ms = row["per_program_ms"]
-        pps = big_points / (ms * 1e-3)
-        detail["step_ms_at_%dM_pts_ref_cadence_lidar" %
-               max(big_points // (1 << 20), 1)] = ms
-        detail["points_per_sec_big_ref_cadence_lidar"] = pps
-        state["points_per_sec"] = max(state["points_per_sec"], pps)
+    # --- priorities 2+3: the two points/s rows ----------------------------
+    # 2: big LiDAR-only frame at ref cadence — 4M points, camera-less (the
+    #    reference's YQ demo configuration), raytrace every 10th frame:
+    #    large N amortises fixed per-frame work, the honest way to measure
+    #    a POINTS/S figure (the Hz row covers per-frame latency).
+    # 3: 1M camera-on frame, STRICT (raytrace every frame).
+    # BENCH_r03 postmortem: phase wall is ~90% cold compile, so K/trials
+    # trims barely move it — the budget planner instead (a) predicts each
+    # phase's wall from the committed BENCH_DETAIL of the last full run,
+    # (b) when both rows don't fit the remaining budget, runs the STRICT
+    # row first (the round-4 target; the big row is historically stable)
+    # with floor-size measure loops.  The structural fix is the warm
+    # persistent compile cache (bench/probe.py forces it open for the
+    # axon platform; prewarmed by the end-of-round --full run).
+    prior_walls = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+            prior_walls = json.load(f).get("phase_walls_s") or {}
+    except (OSError, ValueError):
+        pass
 
-    # --- priority 3: points/s, 1M camera-on frame, STRICT ------------------
-    row = run_phase("step_tp_strict", dict(
-        step_common, points=tp_points, k_lo=2, k_hi=12, trials=3))
-    if row and row.get("per_program_ms"):
+    def est(name, default):
+        w = prior_walls.get(name)
+        return w if isinstance(w, (int, float)) and w > 0 else default
+
+    strict_spec = dict(step_common, points=tp_points,
+                       k_lo=2, k_hi=12, trials=3)
+    big_spec = dict(step_common, points=big_points, raytrace_every=10,
+                    color=False, k_lo=2, k_hi=8, trials=3)
+    if budget_left() < est("step_tp_strict", 200) + est("step_tp_big", 130):
+        strict_spec.update(k_hi=8, trials=2)
+        big_spec.update(k_hi=6, trials=2)
+        tp_order = [("step_tp_strict", strict_spec),
+                    ("step_tp_big", big_spec)]
+        detail["tp_phase_plan"] = "tight-budget: strict first, floor loops"
+    else:
+        tp_order = [("step_tp_big", big_spec),
+                    ("step_tp_strict", strict_spec)]
+
+    for tp_name, tp_spec in tp_order:
+        row = run_phase(tp_name, tp_spec)
+        if not (row and row.get("per_program_ms")):
+            continue
         ms = row["per_program_ms"]
-        detail["step_ms_at_%dM_pts" % max(tp_points // (1 << 20), 1)] = ms
-        detail["points_per_sec_step"] = tp_points / (ms * 1e-3)
-        state["points_per_sec"] = max(state["points_per_sec"],
-                                      tp_points / (ms * 1e-3))
+        if tp_name == "step_tp_big":
+            detail["step_ms_at_%dM_pts_ref_cadence_lidar" %
+                   max(big_points // (1 << 20), 1)] = ms
+            detail["points_per_sec_big_ref_cadence_lidar"] = \
+                big_points / (ms * 1e-3)
+            state["points_per_sec"] = max(state["points_per_sec"],
+                                          big_points / (ms * 1e-3))
+        else:
+            detail["step_ms_at_%dM_pts" % max(tp_points // (1 << 20), 1)] \
+                = ms
+            detail["points_per_sec_step"] = tp_points / (ms * 1e-3)
+            state["points_per_sec"] = max(state["points_per_sec"],
+                                          tp_points / (ms * 1e-3))
 
     if args.full:
         row = run_phase("step_hz_refcadence", dict(

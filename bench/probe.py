@@ -663,6 +663,23 @@ def worker(spec):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    # jax's persistent cache hard-codes supported_platforms = [tpu, gpu,
+    # cpu, neuron] (jax/_src/compilation_cache.py:85) and silently skips
+    # this image's tunneled "axon" TPU — which is why every driver bench
+    # phase recompiles cold (~120-300 s each, the BENCH_r03 partial-capture
+    # root cause).  The axon client is a real TPU PJRT under a relay, so
+    # executable (de)serialization proxies through; force the cache's
+    # platform gate open.  GEM_AXON_CACHE=0 reverts.
+    if os.environ.get("GEM_AXON_CACHE", "1") != "0":
+        try:
+            import jax._src.compilation_cache as _cc
+
+            with _cc._cache_initialized_mutex:
+                _cc._cache_checked = True
+                _cc._cache_used = True
+        except Exception:
+            pass
+
     spec.setdefault("device", str(jax.devices()[0]))
     import_s = round(time.perf_counter() - t_imp0, 1)
     out = PHASES[spec["phase"]](spec)

@@ -627,10 +627,19 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
 
     # --- one 3-key sort: (cell, -h, v) + payloads ---------------------------
     ids = jnp.where(batch.valid, batch.cell, ncell).astype(jnp.int32)
+    # Invalid lanes keep their RAW height/variance/intensity (pointproc only
+    # flips `valid`, e.g. for NaN inputs caught by the band filter).  Unlike
+    # the scatter backends (invalid lanes scatter to a dropped index), this
+    # kernel contracts every lane against the one-hot — and IEEE NaN*0=NaN
+    # would poison every cell column of the chunk's dot.  Zero the payloads
+    # on invalid lanes (fused into the sort's operand prep, ~free).
+    hgt = jnp.where(batch.valid, batch.height, 0.0)
+    var_in = jnp.where(batch.valid, batch.variance, 1.0)
     if with_color:
+        inten_in = jnp.where(batch.valid, batch.intensity, 0.0)
         color_f = batch.color.astype(jnp.float32)  # packed rgb<2^24: exact
         ids_s, negh_s, v_s, inten_s, colf_s = jax.lax.sort(
-            [ids, -batch.height, batch.variance, batch.intensity, color_f],
+            [ids, -hgt, var_in, inten_in, color_f],
             num_keys=3)
         # has_color is a pure function of the sorted color/intensity rows —
         # deriving it POST-sort drops a whole co-sorted operand (sort cost
@@ -643,7 +652,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
                     & (inten_s != 0)).astype(jnp.float32)
     else:
         ids_s, negh_s, v_s = jax.lax.sort(
-            [ids, -batch.height, batch.variance], num_keys=3)
+            [ids, -hgt, var_in], num_keys=3)
 
     neq = ids_s[1:] != ids_s[:-1]
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])

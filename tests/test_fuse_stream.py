@@ -365,6 +365,47 @@ def test_stream_passa_scan_lowest_and_colorless(monkeypatch):
                                    np.asarray(getattr(e, k)), atol=1e-6)
 
 
+@pytest.mark.parametrize("passa", ["dot", "scan", "scanp"])
+def test_stream_nan_invalid_points_stay_inert(monkeypatch, passa):
+    """A NaN-coordinate point (marked invalid by pointproc's band filter,
+    payload left raw) must not poison the map: the one-hot contraction
+    multiplies EVERY lane, and IEEE NaN*0=NaN would smear NaN across all
+    cell columns of the chunk without pre-sort payload sanitization."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", passa)
+    rng = np.random.default_rng(11)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=512)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 512, 0.9)
+    h = np.asarray(batch.height).copy()
+    v = np.asarray(batch.variance).copy()
+    it = np.asarray(batch.intensity).copy()
+    valid = np.asarray(batch.valid).copy()
+    cell = np.asarray(batch.cell).copy()
+    h[7] = np.nan
+    v[9] = np.nan
+    it[11] = np.nan
+    valid[[7, 9, 11]] = False
+    cell[[7, 9, 11]] = L * L
+    bad = dataclasses.replace(
+        batch, height=jnp.asarray(h), variance=jnp.asarray(v),
+        intensity=jnp.asarray(it), valid=jnp.asarray(valid),
+        cell=jnp.asarray(cell))
+    ref = dataclasses.replace(
+        batch, valid=jnp.asarray(valid), cell=jnp.asarray(cell))
+    a = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         interpret=True))(st, bad)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         interpret=True))(st, ref)
+    for k in ("elevation", "variance", "lowest", "intensity"):
+        x = np.asarray(getattr(a, k))
+        assert not np.isnan(x).any(), (passa, k)
+        np.testing.assert_array_equal(x, np.asarray(getattr(b, k)),
+                                      err_msg=(passa, k))
+
+
 def test_stream_colorless_mode():
     """with_color=False: elevation/variance identical to the full path on a
     colorless batch; color/intensity planes pass through untouched."""
