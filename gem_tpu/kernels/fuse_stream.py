@@ -137,6 +137,17 @@ _PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
 # colorless gate scan no longer pays its 1M colorless regression, so it is
 # the default.
 _COLOR = _os.environ.get("GEM_FUSE_COLOR", "scan")
+# sort comparator depth: 3 = (cell, -h, v) — segment-start rows carry the
+# (max-h, min-v tie) winner, matching kernels/fuse.py's value-based tie
+# rule exactly; 2 = (cell, -h) — drops the v key from the comparator
+# (a07c0dd: the 3rd key costs 1.0-1.2 ms of the 2.9 ms sort at 1M).  With
+# 2 keys lax.sort's stability makes the winner at EXACT f32 height ties
+# the first point in batch order — which is precisely the reference
+# G_fuse's own rule (strictly-greater compare in the per-cell in-order
+# scan, gpu_process.cu:477-537), observable on height-quantized streams
+# (e.g. KITTI cm grid).  See PARITY.md "G_fuse ties".
+_SORTK = int(_os.environ.get("GEM_FUSE_SORTK", 3))
+assert _SORTK in (2, 3)
 
 
 def _cdiv(a, b):
@@ -640,7 +651,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
         color_f = batch.color.astype(jnp.float32)  # packed rgb<2^24: exact
         ids_s, negh_s, v_s, inten_s, colf_s = jax.lax.sort(
             [ids, -hgt, var_in, inten_in, color_f],
-            num_keys=3)
+            num_keys=_SORTK)
         # has_color is a pure function of the sorted color/intensity rows —
         # deriving it POST-sort drops a whole co-sorted operand (sort cost
         # scales with operand count; round-2 profile: 3.4 ms at 1M); the
@@ -652,7 +663,7 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
                     & (inten_s != 0)).astype(jnp.float32)
     else:
         ids_s, negh_s, v_s = jax.lax.sort(
-            [ids, -hgt, var_in], num_keys=3)
+            [ids, -hgt, var_in], num_keys=_SORTK)
 
     neq = ids_s[1:] != ids_s[:-1]
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])

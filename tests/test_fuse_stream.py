@@ -406,6 +406,70 @@ def test_stream_nan_invalid_points_stay_inert(monkeypatch, passa):
                                       err_msg=(passa, k))
 
 
+@pytest.mark.parametrize("passa", ["dot", "scanp"])
+def test_stream_sortk2_matches_on_tie_free_data(monkeypatch, passa):
+    """GEM_FUSE_SORTK=2 (comparator drops the v key): identical results to
+    the segment backend whenever no exact f32 height tie exists."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_SORTK", 2)
+    monkeypatch.setattr(fs, "_PASSA", passa)
+    rng = np.random.default_rng(0)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 2048, 0.9)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=False,
+                                         interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_sortk2_tie_rule_is_batch_order(monkeypatch):
+    """At an EXACT f32 height tie among overwrite candidates the 2-key
+    stream keeps the FIRST point in batch order — the reference G_fuse's
+    own strictly-greater rule (gpu_process.cu:500-507: `elev < h` never
+    replaces on equality, so the first-seen tie member wins) — while the
+    3-key comparator implements the segment backend's min-variance rule.
+    Observable on height-quantized streams (KITTI cm grid); PARITY.md
+    "G_fuse ties"."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    L = 16
+    cfg = benchmark_config(length=L, max_points=8)
+    st = init_map_state(cfg.map)
+    cell = 5 * L + 3
+    elev = np.full((L, L), cfg.map.invalid_elevation, np.float32)
+    var = np.full((L, L), cfg.map.invalid_variance, np.float32)
+    elev[5, 3] = 0.0
+    var[5, 3] = 1e-4          # tight prior: points at h=2.0 are outliers
+    st = st.replace(elevation=jnp.asarray(elev), variance=jnp.asarray(var))
+    P = 8
+    h = np.zeros(P, np.float32)
+    v = np.full(P, 0.5, np.float32)
+    c = np.full(P, cell, np.int32)
+    valid = np.zeros(P, bool)
+    h[0], v[0] = 2.0, 0.3     # first in batch order
+    h[1], v[1] = 2.0, 0.1     # same quantized height, smaller variance
+    valid[:2] = True
+    batch = PointBatch(
+        xy=jnp.zeros((P, 2)), height=jnp.asarray(h), variance=jnp.asarray(v),
+        cell=jnp.where(jnp.asarray(valid), jnp.asarray(c), L * L),
+        color=jnp.zeros(P, jnp.int32), intensity=jnp.zeros(P),
+        valid=jnp.asarray(valid))
+
+    monkeypatch.setattr(fs, "_SORTK", 2)
+    out2 = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    monkeypatch.setattr(fs, "_SORTK", 3)
+    out3 = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    assert np.asarray(out2.elevation)[5, 3] == 2.0
+    assert np.asarray(out3.elevation)[5, 3] == 2.0
+    assert np.asarray(out2.variance)[5, 3] == np.float32(0.3)   # batch order
+    assert np.asarray(out3.variance)[5, 3] == np.float32(0.1)   # min-v rule
+
+
 def test_stream_colorless_mode():
     """with_color=False: elevation/variance identical to the full path on a
     colorless batch; color/intensity planes pass through untouched."""
