@@ -28,7 +28,14 @@ from gem_tpu.global_map.submaps import PointBuffer
 
 def polar_bev(buf: PointBuffer, center_xy, max_radius: float,
               n_rings: int = 32, n_sectors: int = 64):
-    """(n_rings, n_sectors) occupancy image of a submap around `center_xy`."""
+    """(n_rings, n_sectors) HEIGHT image of a submap around `center_xy`.
+
+    Scan-context/DiSCO encode per-bin max height, not occupancy: on
+    terrain, a dense lidar disk's occupancy image is a featureless blob
+    (every submap matches every other at ~0.95 cosine — round-4 CLI
+    shakeout), while the relief pattern discriminates places.  Bin value =
+    1 + (max z in bin - submap min z), empty = 0; on a flat z=const scene
+    this reduces exactly to the old occupancy image."""
     dx = buf.x - center_xy[0]
     dy = buf.y - center_xy[1]
     r = jnp.sqrt(dx * dx + dy * dy)
@@ -38,9 +45,11 @@ def polar_bev(buf: PointBuffer, center_xy, max_radius: float,
                      .astype(jnp.int32), n_sectors)
     ok = buf.valid & (ring >= 0) & (ring < n_rings)
     flat = jnp.where(ok, ring * n_sectors + sector, n_rings * n_sectors)
-    img = jnp.zeros((n_rings * n_sectors + 1,), jnp.float32)
-    img = img.at[flat].add(1.0, mode="drop")
-    return jnp.minimum(img[:-1].reshape(n_rings, n_sectors), 1.0)
+    zmin = jnp.min(jnp.where(buf.valid, buf.z, jnp.inf))
+    zrel = 1.0 + buf.z - jnp.where(jnp.isfinite(zmin), zmin, 0.0)
+    img = jnp.full((n_rings * n_sectors + 1,), -jnp.inf, jnp.float32)
+    img = img.at[flat].max(jnp.where(ok, zrel, -jnp.inf), mode="drop")
+    return jnp.maximum(img[:-1].reshape(n_rings, n_sectors), 0.0)
 
 
 def disco_signature(buf: PointBuffer, center_xy, max_radius: float = 25.0,
@@ -88,4 +97,15 @@ def relative_yaw(fft_a_real, fft_a_imag, fft_b_real, fft_b_imag,
     weight = mag / (jnp.sum(mag, axis=1, keepdims=True) + 1e-9)
     corr = jnp.fft.ifft(jnp.sum(phase * weight, axis=0)).real   # (S,)
     shift = jnp.argmax(corr)
-    return shift.astype(jnp.float32) * (2 * math.pi / n_sectors)
+    # sub-sector refinement: a whole-sector quantum (2*pi/S = 5.6 deg at
+    # S=64) decomposed through a distant submap center turns into a bogus
+    # multi-meter implied translation (round-4 CLI shakeout); parabolic
+    # interpolation through the peak's neighbours recovers ~10x finer yaw
+    cm = corr[(shift - 1) % n_sectors]
+    c0 = corr[shift]
+    cp = corr[(shift + 1) % n_sectors]
+    denom = cm - 2 * c0 + cp
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (cm - cp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return (shift.astype(jnp.float32) + delta) * (2 * math.pi / n_sectors)

@@ -433,6 +433,40 @@ def cmd_fleet(args):
 
     cfg = _build_config(args)
     R = args.robots
+
+    def _drift_frame(frame, theta, txy):
+        """Premultiply a frame's believed poses by a rigid SE(2) drift —
+        simulates per-robot odometry drift so --loop-detect has something
+        real to recover (the reference gets drifted trajectories from the
+        robots' own odometry; README.md:3-4)."""
+        import dataclasses as _dc
+        import math as _m
+
+        c, s = _m.cos(theta), _m.sin(theta)
+        Rd = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        D = np.eye(4, dtype=np.float32)
+        D[:3, :3] = Rd
+        D[:2, 3] = txy
+        qd = np.asarray([_m.cos(theta / 2), 0, 0, _m.sin(theta / 2)],
+                        np.float32)
+        q = np.asarray(frame.pose_quat)
+        qn = np.asarray([
+            qd[0] * q[0] - qd[3] * q[3],
+            qd[0] * q[1] - qd[3] * q[2],
+            qd[0] * q[2] + qd[3] * q[1],
+            qd[0] * q[3] + qd[3] * q[0]], np.float32)
+        return _dc.replace(
+            frame,
+            transform=jnp.asarray(D @ np.asarray(frame.transform)),
+            r_map_base=jnp.asarray(Rd @ np.asarray(frame.r_map_base)),
+            t_map_base=jnp.asarray(
+                Rd @ np.asarray(frame.t_map_base) + D[:3, 3]),
+            track_position=jnp.asarray(
+                Rd @ np.asarray(frame.track_position) + D[:3, 3]),
+            pose_quat=jnp.asarray(qn))
+
+    drift = (args.drift_yaw != 0.0 or args.drift_x != 0.0
+             or args.drift_y != 0.0)
     if dist is not None:
         assert R % args.num_processes == 0, \
             "--robots must divide evenly across --num-processes"
@@ -445,8 +479,14 @@ def cmd_fleet(args):
         r_local = R // args.num_processes
     else:
         r0, r_local = 0, R
-    gens = [synthetic_frames(cfg, args.frames, speed=args.speed, seed=r)
-            for r in range(r0, r0 + r_local)]
+    # --world-seed >= 0 puts every robot in the SAME world with per-robot
+    # headings (arcs that cross the same area — the loop-detect scenario);
+    # default keeps the independent per-robot worlds
+    gens = [synthetic_frames(
+        cfg, args.frames, speed=args.speed,
+        seed=args.world_seed if args.world_seed >= 0 else r,
+        heading=0.35 + (0.25 * r if args.world_seed >= 0 else 0.0))
+        for r in range(r0, r0 + r_local)]
     if dist is not None:
         mesh = dist.global_mesh()
         state = dist.distribute_fleet(make_fleet_state(cfg, r_local), mesh)
@@ -466,8 +506,16 @@ def cmd_fleet(args):
     outs = None
     step_fn_c = None
     for frames in zip(*gens):
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
-                               *[f for f, _, _ in frames])
+        frame_list = [f for f, _, _ in frames]
+        if drift:
+            import math as _m
+
+            frame_list = [
+                f if r == 0 else _drift_frame(
+                    f, _m.radians(args.drift_yaw),
+                    (args.drift_x, args.drift_y))
+                for r, f in enumerate(frame_list)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frame_list)
         if dist is not None:
             stacked = dist.distribute_fleet(stacked, mesh)
             if step_fn_c is None:
@@ -502,6 +550,27 @@ def cmd_fleet(args):
     print(f"per-robot fused cells: {fused.tolist()}")
     print(f"per-robot last-frame valid points: "
           f"{np.asarray(pv).tolist()}")
+
+    if args.loop_detect and dist is None:
+        # MR_SLAM-lite: detect inter-robot loops from DiSCO signatures
+        # alone, optimize the joint pose graph and re-stitch (the
+        # reference ships InterPR.msg to the external MR_SLAM backend)
+        import json as _json
+
+        from gem_tpu.multirobot.loop_detect import fleet_loop_closure
+
+        corrected, lstats, records = fleet_loop_closure(
+            jax.device_get(state.submaps), cfg,
+            sim_threshold=args.loop_sim_threshold)
+        print("loop-detect:", _json.dumps(lstats))
+        if args.publish_interpr:
+            os.makedirs(os.path.dirname(args.publish_interpr) or ".",
+                        exist_ok=True)
+            records.save(args.publish_interpr)
+            print(f"{len(records.items)} InterPR records -> "
+                  f"{args.publish_interpr}")
+    elif args.loop_detect:
+        print("loop-detect: skipped (single-host only)")
     return 0
 
 
@@ -729,6 +798,22 @@ def main(argv=None):
                          "every host with its own --process-id)")
     fp.add_argument("--num-processes", type=int, default=1)
     fp.add_argument("--process-id", type=int, default=0)
+    fp.add_argument("--loop-detect", action="store_true",
+                    help="after the replay, detect inter-robot loops from "
+                         "DiSCO signatures, optimize the joint pose graph "
+                         "and re-stitch (MR_SLAM-lite; no external poses)")
+    fp.add_argument("--loop-sim-threshold", type=float, default=0.93)
+    fp.add_argument("--world-seed", type=int, default=-1,
+                    help=">=0: all robots share this world (per-robot "
+                         "headings) so trajectories cross — the "
+                         "loop-detect scenario")
+    fp.add_argument("--drift-yaw", type=float, default=0.0,
+                    help="inject this odometry yaw drift (degrees) into "
+                         "robots 1..N-1")
+    fp.add_argument("--drift-x", type=float, default=0.0)
+    fp.add_argument("--drift-y", type=float, default=0.0)
+    fp.add_argument("--publish-interpr",
+                    help="save detected loops as an InterPRs npz record")
     fp.set_defaults(fn=cmd_fleet)
 
     bp = sub.add_parser("bench", help="run the benchmark (see bench.py)")

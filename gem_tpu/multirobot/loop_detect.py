@@ -1,0 +1,456 @@
+"""MR_SLAM-lite: in-framework inter-robot loop detection + pose graph.
+
+The reference computes DiSCO descriptors, ships them over
+dislam_msgs/DiSCO.msg + InterPR.msg and delegates loop detection, relative
+pose estimation and pose-graph optimization to the external MR_SLAM stack
+(README.md:3-4, dislam_msgs/msg/InterPR.msg).  gem_tpu closes that loop
+in-framework:
+
+  1. every occupied submap slot gets a DiSCO signature
+     (global_map/place_recognition.py — polar BEV + azimuthal FFT);
+  2. cross-robot candidate screening by rotation-invariant cosine
+     similarity (the InterPR exchange's selection step);
+  3. per-candidate SE(2) factor estimation: yaw from full-spectrum phase
+     correlation (the DiSCO trick), translation from cartesian BEV phase
+     correlation after de-rotation, then an overlap verification score
+     (MR_SLAM verifies with ICP; a dense BEV correlation is this
+     framework's fixed-shape, FFT-native equivalent);
+  4. a small SE(2) pose graph over ALL keyframes (odometry edges between
+     consecutive keyframes of each robot from the odometry-estimated
+     poses + the verified inter-robot loop factors), solved by
+     Gauss-Newton on the host (loop events are rare; N = fleet keyframes
+     is tiny next to the per-frame path);
+  5. the optimized poses feed the existing joint re-stitch
+     (exchange.joint_loop_closure machinery / loop_closure.apply_*).
+
+Conventions (pinned by tests/test_place_recognition.py +
+tests/test_loop_detect.py): relative_yaw(F_b, F_a) returns +yaw when
+scene_b = R(+yaw) @ scene_a, so aligning B to A rotates B's local points
+by -yaw.  Phase correlation of (img_a, img_b) returns the displacement d
+with img_a(p) ~ img_b(p - d), d in cells, wrapped to +-G/2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gem_tpu.config import PipelineConfig
+from gem_tpu.global_map import submaps as sm
+from gem_tpu.global_map.loop_closure import apply_loop_closure
+from gem_tpu.global_map.place_recognition import (disco_signature,
+                                                  match_signatures,
+                                                  relative_yaw)
+from gem_tpu.msgs import InterPRRecord, InterPRsRecord
+
+
+def _yaw_of_quat(q):
+    """Yaw of [qw, qx, qy, qz]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+
+
+def _quat_of_yaw(yaw):
+    return np.stack([np.cos(yaw / 2), np.zeros_like(yaw),
+                     np.zeros_like(yaw), np.sin(yaw / 2)], axis=-1)
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw], axis=-1)
+
+
+def cartesian_bev(buf: sm.PointBuffer, center_xy, radius: float, grid: int,
+                  yaw=0.0):
+    """(G, G) height image of `buf` around `center_xy` (same encoding as
+    place_recognition.polar_bev), de-rotating the local offsets by -yaw
+    first (row 0 = -x edge).  `yaw` may be a tracer (jit-safe)."""
+    dx0 = buf.x - center_xy[0]
+    dy0 = buf.y - center_xy[1]
+    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+    dx = dx0 * c - dy0 * s
+    dy = dx0 * s + dy0 * c
+    res = 2.0 * radius / grid
+    ix = jnp.floor(dx / res + grid / 2).astype(jnp.int32)
+    iy = jnp.floor(dy / res + grid / 2).astype(jnp.int32)
+    ok = buf.valid & (ix >= 0) & (ix < grid) & (iy >= 0) & (iy < grid)
+    flat = jnp.where(ok, ix * grid + iy, grid * grid)
+    zmin = jnp.min(jnp.where(buf.valid, buf.z, jnp.inf))
+    zrel = 1.0 + buf.z - jnp.where(jnp.isfinite(zmin), zmin, 0.0)
+    img = jnp.full((grid * grid + 1,), -jnp.inf, jnp.float32).at[flat].max(
+        jnp.where(ok, zrel, -jnp.inf), mode="drop")
+    return jnp.maximum(img[:-1].reshape(grid, grid), 0.0)
+
+
+def phase_correlate_2d(img_a, img_b):
+    """(dx_cells, dy_cells, peak) with img_a(p) ~ img_b(p - d); the peak is
+    the normalized correlation height (0..1-ish) used for verification."""
+    Fa = jnp.fft.fft2(img_a)
+    Fb = jnp.fft.fft2(img_b)
+    cross = Fa * jnp.conj(Fb)
+    corr = jnp.fft.ifft2(cross / (jnp.abs(cross) + 1e-9)).real
+    G = img_a.shape[0]
+    idx = jnp.argmax(corr)
+    dx, dy = idx // G, idx % G
+
+    def refine(c_m, c_0, c_p):
+        denom = c_m - 2 * c_0 + c_p
+        d = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (c_m - c_p) / denom,
+                      0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    ddx = refine(corr[(dx - 1) % G, dy], corr[dx, dy],
+                 corr[(dx + 1) % G, dy])
+    ddy = refine(corr[dx, (dy - 1) % G], corr[dx, dy],
+                 corr[dx, (dy + 1) % G])
+    wrap = lambda d: jnp.where(d > G // 2, d - G, d)
+    return (wrap(dx).astype(jnp.float32) + ddx,
+            wrap(dy).astype(jnp.float32) + ddy,
+            corr.reshape(-1)[idx])
+
+
+@dataclasses.dataclass
+class InterLoop:
+    """A verified inter-robot loop factor between merged keyframes i, j:
+    applying (yaw, t) to j's submap aligns it onto i's."""
+
+    i: int
+    j: int
+    yaw: float                 # j's frame is i's rotated by +yaw
+    t: np.ndarray              # (2,) translation (see factor_se2)
+    similarity: float
+    peak: float
+
+    def factor_se2(self):
+        """Wire-format factor (dx, dy, dyaw): node j's TRUE position is
+        c_i + t and its yaw correction is -yaw.  Sign convention pinned
+        numerically (tests/test_loop_detect.py): phase_correlate_2d
+        returns d with img_i(p) = img_j(p - d), and for drifted frames
+        that evaluates to d*res = c_j_true - c_i."""
+        return np.asarray([self.t[0], self.t[1], -self.yaw], np.float64)
+
+
+def detect_inter_loops(store: sm.SubmapStore, robot_of: np.ndarray,
+                       cfg: PipelineConfig,
+                       sim_threshold: float = 0.93,
+                       peak_threshold: float = 0.05,
+                       max_pairs: int = 16,
+                       bev_radius: float | None = None,
+                       bev_grid: int = 128,
+                       center_gate: float | None = None) -> list[InterLoop]:
+    """Screen cross-robot submap pairs by DiSCO similarity, estimate and
+    verify an SE(2) factor for the survivors.
+
+    `store` is a merged fleet store (kf_ids = merged order); `robot_of`
+    maps merged index -> robot id.  Returns at most `max_pairs` verified
+    loops, strongest first.
+    """
+    n = int(store.num_submaps)
+    if n < 2:
+        return []
+    radius = bev_radius or cfg.submap.overlap_radius
+    centers = np.asarray(jax.device_get(store.centers))[:n]
+
+    sig_fn = jax.jit(lambda b, c: disco_signature(b, c, max_radius=radius))
+    sigs, ffts = [], []
+    for k in range(n):
+        buf = jax.tree.map(lambda a: a[k], store.slots)
+        s, fr, fi = sig_fn(buf, jnp.asarray(centers[k]))
+        sigs.append(np.asarray(s))
+        ffts.append((fr, fi))
+
+    # Candidate gate: cross-robot, signature similarity, AND near-colocated
+    # keyframes.  The colocation gate is not just the usual kd-radius
+    # screen: each submap's OBSERVED disk is centered on its own keyframe,
+    # and on low-relief terrain the support mask correlates at zero offset
+    # regardless of content — offset vantage points bias the translation
+    # estimate toward c_i, mis-decomposing into a bogus global drift
+    # (round-4 shakeout).  Within ~0.4 R the mask and content align
+    # together and the bias vanishes.  Drift between robots adds to the
+    # BELIEVED distance, so the gate must stay loose vs expected drift.
+    gate = center_gate if center_gate is not None else 0.4 * radius
+    cand = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if robot_of[i] == robot_of[j]:
+                continue
+            if np.linalg.norm(centers[i] - centers[j]) > gate:
+                continue
+            sim = float(match_signatures(jnp.asarray(sigs[i]),
+                                         jnp.asarray(sigs[j])))
+            if sim >= sim_threshold:
+                cand.append((sim, i, j))
+    cand.sort(reverse=True)
+
+    yaw_fn = jax.jit(lambda br, bi, ar, ai: relative_yaw(br, bi, ar, ai))
+
+    # Joint (yaw, t) verification: the DiSCO yaw is only a SEED — matched
+    # keyframes sit meters apart, and polar decomposition around offset
+    # vantage points biases the rotation peak by several degrees (round-4
+    # CLI shakeout: 13 deg estimated for an 8 deg drift).  Sweep yaw
+    # hypotheses around the seed and keep the one whose de-rotated
+    # cartesian phase correlation peaks highest — the peak measures true
+    # joint SE(2) alignment.
+    n_sectors = 64
+    sweep = (2 * math.pi / n_sectors) * np.linspace(-2.0, 2.0, 13)
+
+    @jax.jit
+    def align(buf_i, buf_j, ci, cj, yaw0):
+        img_i = cartesian_bev(buf_i, ci, radius, bev_grid)
+
+        def one(dyaw):
+            img_j = cartesian_bev(buf_j, cj, radius, bev_grid,
+                                  yaw=yaw0 + dyaw)
+            return phase_correlate_2d(img_i, img_j)
+        dxs, dys, peaks = jax.vmap(one)(jnp.asarray(sweep))
+        k = jnp.argmax(peaks)
+        return dxs[k], dys[k], peaks[k], yaw0 + jnp.asarray(sweep)[k]
+
+    loops: list[InterLoop] = []
+    res = 2.0 * radius / bev_grid
+    for sim, i, j in cand[:4 * max_pairs]:
+        fr_i, fi_i = ffts[i]
+        fr_j, fi_j = ffts[j]
+        yaw0 = float(yaw_fn(fr_j, fi_j, fr_i, fi_i))
+        buf_i = jax.tree.map(lambda a: a[i], store.slots)
+        buf_j = jax.tree.map(lambda a: a[j], store.slots)
+        dx, dy, peak, yaw = align(buf_i, buf_j,
+                                  jnp.asarray(centers[i]),
+                                  jnp.asarray(centers[j]),
+                                  jnp.float32(yaw0))
+        peak = float(peak)
+        if peak < peak_threshold:
+            continue
+        t = np.asarray([float(dx) * res, float(dy) * res])
+        loops.append(InterLoop(i=i, j=j, yaw=float(yaw), t=t,
+                               similarity=sim, peak=peak))
+        if len(loops) >= max_pairs:
+            break
+    return loops
+
+
+def _implied_drift(lp: InterLoop, xyt: np.ndarray):
+    """The rigid drift D of robot(j)'s frame implied by this loop
+    (believed = D(true)): D_yaw = yaw, D_t = c_j - R(yaw) @ c_j_true with
+    c_j_true = c_i + t."""
+    ci, cj = xyt[lp.i][:2], xyt[lp.j][:2]
+    true_j = ci + lp.t
+    c, s = math.cos(lp.yaw), math.sin(lp.yaw)
+    R = np.asarray([[c, -s], [s, c]])
+    return lp.yaw, cj - R @ true_j
+
+
+def _drift_consensus(loops: list, xyt: np.ndarray, robot_of: np.ndarray,
+                     yaw_tol: float = 0.15, t_tol: float = 2.5):
+    """Largest cluster of loops whose implied per-robot-pair drifts agree
+    (greedy, seeded by similarity order; ties by summed similarity)."""
+    if len(loops) <= 1:
+        return loops
+    drifts = [(lp, robot_of[lp.i], robot_of[lp.j], *_implied_drift(lp, xyt))
+              for lp in loops]
+    best: list = []
+    best_score = -1.0
+    for (seed, ra, rb, yaw0, t0) in drifts:
+        cluster = [lp for (lp, a, b, yaw, t) in drifts
+                   if (a, b) == (ra, rb)
+                   and abs((yaw - yaw0 + math.pi) % (2 * math.pi)
+                           - math.pi) < yaw_tol
+                   and np.linalg.norm(t - t0) < t_tol]
+        score = len(cluster) * 1000 + sum(lp.similarity for lp in cluster)
+        if score > best_score:
+            best, best_score = cluster, score
+    return best
+
+
+def _v2t(v):
+    c, s = math.cos(v[2]), math.sin(v[2])
+    return np.asarray([[c, -s, v[0]], [s, c, v[1]], [0, 0, 1]], np.float64)
+
+
+def _t2v(T):
+    return np.asarray([T[0, 2], T[1, 2], math.atan2(T[1, 0], T[0, 0])],
+                      np.float64)
+
+
+def optimize_pose_graph(nodes_xyt: np.ndarray, edges: list,
+                        anchor: int = 0, iters: int = 25,
+                        damping: float = 1e-6) -> np.ndarray:
+    """Dense SE(2) pose-graph Gauss-Newton (numpy; N = fleet keyframes).
+
+    nodes_xyt : (N, 3) initial (x, y, yaw)
+    edges     : list of (i, j, z_xyt, weight) — z = pose of j in i's frame
+    Returns optimized (N, 3).  The anchor node is held fixed (the
+    reference holds keyframe 0 rigid the same way,
+    src/ElevationMapping.cpp:794).
+    """
+    x = np.asarray(nodes_xyt, np.float64).copy()
+    N = x.shape[0]
+    for _ in range(iters):
+        H = np.zeros((3 * N, 3 * N))
+        b = np.zeros(3 * N)
+        for (i, j, z, w) in edges:
+            Ti, Tj, Tz = _v2t(x[i]), _v2t(x[j]), _v2t(z)
+            e = _t2v(np.linalg.inv(Tz) @ np.linalg.inv(Ti) @ Tj)
+            # angle wrap
+            e[2] = (e[2] + math.pi) % (2 * math.pi) - math.pi
+            ci, si = math.cos(x[i][2]), math.sin(x[i][2])
+            Rti = np.asarray([[ci, si], [-si, ci]])     # R_i^T
+            Rz = Tz[:2, :2]
+            dt = x[j][:2] - x[i][:2]
+            A = np.zeros((3, 3))
+            A[:2, :2] = -Rz.T @ Rti
+            A[:2, 2] = Rz.T @ np.asarray([[-si, ci], [-ci, -si]]) @ dt
+            A[2, 2] = -1.0
+            B = np.zeros((3, 3))
+            B[:2, :2] = Rz.T @ Rti
+            B[2, 2] = 1.0
+            Hii = w * A.T @ A
+            Hjj = w * B.T @ B
+            Hij = w * A.T @ B
+            sl = lambda k: slice(3 * k, 3 * k + 3)
+            H[sl(i), sl(i)] += Hii
+            H[sl(j), sl(j)] += Hjj
+            H[sl(i), sl(j)] += Hij
+            H[sl(j), sl(i)] += Hij.T
+            b[sl(i)] += w * A.T @ e
+            b[sl(j)] += w * B.T @ e
+        # anchor prior
+        H[3 * anchor:3 * anchor + 3, 3 * anchor:3 * anchor + 3] += \
+            1e9 * np.eye(3)
+        H += damping * np.eye(3 * N)
+        try:
+            dx = np.linalg.solve(H, -b)
+        except np.linalg.LinAlgError:
+            break
+        x += dx.reshape(N, 3)
+        x[:, 2] = (x[:, 2] + math.pi) % (2 * math.pi) - math.pi
+        if np.max(np.abs(dx)) < 1e-9:
+            break
+    return x
+
+
+def interpr_records(loops: list[InterLoop], store: sm.SubmapStore,
+                    seq: int = 0) -> InterPRsRecord:
+    """Wire-format batch of the verified candidates
+    (dislam_msgs/InterPRs.msg: id0/id1 + factor pose)."""
+    poses = np.asarray(jax.device_get(store.poses))
+    items = []
+    for lp in loops:
+        f = lp.factor_se2()
+        factor = np.zeros(7, np.float32)
+        factor[:2] = f[:2]
+        factor[3:] = _quat_of_yaw(np.asarray(f[2]))
+        items.append(InterPRRecord(
+            id0=lp.i, id1=lp.j, is_aerial=False, is_checked=True,
+            id0_pose=poses[lp.i].astype(np.float32), factor_pose=factor))
+    return InterPRsRecord(seq=seq, items=items)
+
+
+def fleet_loop_closure(fleet_store: sm.SubmapStore, cfg: PipelineConfig,
+                       sim_threshold: float = 0.93,
+                       peak_threshold: float = 0.05,
+                       loop_weight: float = 10.0,
+                       max_pairs: int = 16):
+    """End-to-end MR_SLAM-lite: merge the fleet's submap rings, detect
+    inter-robot loops from DiSCO signatures alone, optimize the joint
+    keyframe pose graph and re-stitch the merged map.
+
+    Returns (corrected merged store, stats dict, InterPRsRecord).  With no
+    verified loop the merged store is returned unchanged (stats explain).
+    """
+    merged, (r_idx, _) = merge_fleet_stores_with_mapping(fleet_store, cfg)
+    n = int(merged.num_submaps)
+    if n < 2:
+        return merged, {"n_loops": 0, "reason": "fewer than 2 submaps"}, \
+            InterPRsRecord(seq=0, items=[])
+    robot_of = np.asarray(r_idx)
+    loops = detect_inter_loops(merged, robot_of, cfg,
+                               sim_threshold=sim_threshold,
+                               peak_threshold=peak_threshold,
+                               max_pairs=max_pairs)
+    records = interpr_records(loops, merged)
+    if not loops:
+        return merged, {"n_loops": 0, "reason": "no candidate above "
+                        f"similarity {sim_threshold}"}, records
+
+    poses = np.asarray(jax.device_get(merged.poses))[:n]
+    xyt = np.zeros((n, 3))
+    xyt[:, :2] = poses[:, :2]
+    xyt[:, 2] = _yaw_of_quat(poses[:, 3:])
+
+    # Drift-consensus filter: every TRUE loop between the same robot pair
+    # implies the same rigid drift D (believed = D(true)); false matches on
+    # self-similar terrain imply scattered drifts and would drag the pose
+    # graph tens of meters (round-4 CLI shakeout).  Keep the largest
+    # agreeing cluster (ties broken by summed similarity).
+    loops = _drift_consensus(loops, xyt, robot_of)
+    records = interpr_records(loops, merged)
+    if not loops:
+        return merged, {"n_loops": 0,
+                        "reason": "no drift-consistent loop cluster"}, \
+            records
+
+    edges = []
+    for k in range(n - 1):          # odometry edges within each robot
+        if robot_of[k] != robot_of[k + 1]:
+            continue
+        z = _t2v(np.linalg.inv(_v2t(xyt[k])) @ _v2t(xyt[k + 1]))
+        edges.append((k, k + 1, z, 1.0))
+    for lp in loops:
+        # drift algebra (see InterLoop.factor_se2): node j's TRUE world
+        # pose is (c_i + t, yaw_j - yaw); express it relative to node i
+        ci, cj = xyt[lp.i], xyt[lp.j]
+        corr_j = np.asarray([ci[0] + lp.t[0], ci[1] + lp.t[1],
+                             cj[2] - lp.yaw])
+        z = _t2v(np.linalg.inv(_v2t(ci)) @ _v2t(corr_j))
+        edges.append((lp.i, lp.j, z, loop_weight))
+
+    opt_xyt = optimize_pose_graph(xyt, edges)
+    opt_poses = poses.copy()
+    opt_poses[:, :2] = opt_xyt[:, :2]
+    dyaw = opt_xyt[:, 2] - xyt[:, 2]
+    opt_poses[:, 3:] = _quat_mul(_quat_of_yaw(dyaw), poses[:, 3:])
+
+    joint_cfg = cfg.replace(submap=dataclasses.replace(
+        cfg.submap, max_submaps=merged.counts.shape[0]))
+    corrected, lc_stats = apply_loop_closure(merged, joint_cfg,
+                                             opt_poses.astype(np.float32))
+    stats = {"n_loops": len(loops),
+             "pairs": [(lp.i, lp.j) for lp in loops],
+             "similarities": [round(lp.similarity, 4) for lp in loops],
+             "peaks": [round(lp.peak, 4) for lp in loops],
+             "implied_drifts": [
+                 (round(math.degrees(d[0]), 2),
+                  round(float(d[1][0]), 2), round(float(d[1][1]), 2))
+                 for d in (_implied_drift(lp, xyt) for lp in loops)],
+             "max_pose_correction_m": float(np.max(np.linalg.norm(
+                 opt_xyt[:, :2] - xyt[:, :2], axis=1))),
+             **lc_stats}
+    return corrected, stats, records
+
+
+def merge_fleet_stores_with_mapping(fleet_submaps: sm.SubmapStore,
+                                    cfg: PipelineConfig):
+    """merge_fleet_stores + the (robot, slot) provenance of each merged
+    index (needed to restrict loop candidates to cross-robot pairs)."""
+    from gem_tpu.multirobot.exchange import merge_fleet_stores
+
+    R, K = fleet_submaps.counts.shape[0], fleet_submaps.counts.shape[1]
+    ids = np.asarray(jax.device_get(fleet_submaps.kf_ids))
+    sel = []
+    for r in range(R):
+        occupied = [(int(ids[r, k]), k) for k in range(K) if ids[r, k] >= 0]
+        sel.extend((r, k) for _, k in sorted(occupied))
+    r_idx = np.asarray([s[0] for s in sel], np.int32)
+    k_idx = np.asarray([s[1] for s in sel], np.int32)
+    merged = merge_fleet_stores(fleet_submaps, cfg)
+    return merged, (r_idx, k_idx)
