@@ -470,6 +470,62 @@ def test_stream_sortk2_tie_rule_is_batch_order(monkeypatch):
     assert np.asarray(out3.variance)[5, 3] == np.float32(0.1)   # min-v rule
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_stream_tie_fuzz_divergence_is_bounded(seed):
+    """Fuzz EXACT f32 height ties (coarsely quantized heights/variances so
+    duplicate keys are common) and pin PARITY.md's claim that the
+    documented overwrite-color corner is the ONLY stream/segment
+    divergence: elevation, variance and lowest must agree bit-for-bit
+    even under heavy tying; color/intensity may differ ONLY at cells
+    where an exact height tie among points with mixed color presence
+    exists (PARITY.md 'G_fuse color')."""
+    rng = np.random.default_rng(100 + seed)
+    L = 24
+    P = 4096
+    cfg = benchmark_config(length=L, max_points=P)
+    st = _random_state(rng, cfg.map, 0.5)
+    # quantized heights (step 0.25) over few cells => many exact ties,
+    # quantized variances => exact v ties too
+    cell = rng.integers(0, L * L // 8, P).astype(np.int32)
+    h = (rng.integers(-8, 9, P) * 0.25).astype(np.float32)
+    v = (rng.integers(1, 5, P) * 0.05).astype(np.float32)
+    col = np.where(rng.random(P) < 0.5,
+                   rng.integers(1, 1 << 24, P), 0).astype(np.int32)
+    inten = np.where(col != 0, rng.uniform(0.1, 1.0, P),
+                     0.0).astype(np.float32)
+    valid = rng.random(P) < 0.95
+    batch = PointBatch(
+        xy=jnp.zeros((P, 2)), height=jnp.asarray(h), variance=jnp.asarray(v),
+        cell=jnp.where(jnp.asarray(valid), jnp.asarray(cell), L * L),
+        color=jnp.asarray(col), intensity=jnp.asarray(inten),
+        valid=jnp.asarray(valid))
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fuse_stream(s, cfg, b, with_lowest=True,
+                                         interpret=True))(st, batch)
+    # numeric planes: equal to f32 summation-reassociation tolerance even
+    # under heavy tying (both backends pick the (max-h, min-v) winner; a
+    # genuinely different pick would differ by the 0.05 variance quantum,
+    # four orders above this tolerance)
+    for k in ("elevation", "variance"):
+        np.testing.assert_allclose(np.asarray(getattr(a, k)),
+                                   np.asarray(getattr(b, k)), atol=1e-5,
+                                   err_msg=k)
+
+    # color/intensity: divergence allowed only at mixed-color-tie cells
+    diff = (np.asarray(a.color) != np.asarray(b.color)).reshape(-1) | \
+        (np.asarray(a.intensity) != np.asarray(b.intensity)).reshape(-1)
+    allowed = np.zeros(L * L, bool)
+    for c in np.unique(cell[valid]):
+        hs = h[valid & (cell == c)]
+        cols = col[valid & (cell == c)]
+        for hv in np.unique(hs):
+            tie = hs == hv
+            if tie.sum() >= 2 and len(set(cols[tie] != 0)) > 1:
+                allowed[c] = True
+    bad = np.nonzero(diff & ~allowed)[0]
+    assert bad.size == 0, f"unexpected divergence at cells {bad[:10]}"
+
+
 def test_stream_colorless_mode():
     """with_color=False: elevation/variance identical to the full path on a
     colorless batch; color/intensity planes pass through untouched."""
