@@ -30,19 +30,33 @@ from gem_tpu.mapping.pipeline import (Frame, PipelineState,
                                       init_pipeline_state, step)
 
 
-def make_fleet_state(cfg: PipelineConfig, n_robots: int) -> PipelineState:
-    """Stacked pipeline state with a leading robot axis.
+def fleet_effective_config(cfg: PipelineConfig) -> PipelineConfig:
+    """The config that actually describes a fleet state's pytree shapes.
 
-    Shed staging is forced off: under vmap the staging-ring flush
-    `lax.cond` lowers to a select that executes (and pays for) the flush
-    on EVERY frame, inverting the amortization it exists for (see
+    Shed staging is forced off for fleets: under vmap the staging-ring
+    flush `lax.cond` lowers to a select that executes (and pays for) the
+    flush on EVERY frame, inverting the amortization it exists for (see
     SubmapConfig.staging_frames).  Per-frame compaction is the right
-    batched shape."""
+    batched shape; the measured cost of forgoing staging is the 1.27
+    ms/frame submap-append bound at the 1M flagship point (bench/probe
+    `staging` knob, commit d188798) against per-robot frames that are
+    typically far smaller — within fleet noise (PROFILE_r4.md).
+
+    ANY code that builds a template from the config for a fleet state —
+    npz checkpoint load, orbax restore, shard_map eval_shape — must use
+    THIS config, not the original, or staging-shape mismatches follow
+    (round-3 advisor finding)."""
     import dataclasses as _dc
 
     if cfg.submap.staging_frames:
         cfg = cfg.replace(submap=_dc.replace(cfg.submap, staging_frames=0))
-    one = init_pipeline_state(cfg)
+    return cfg
+
+
+def make_fleet_state(cfg: PipelineConfig, n_robots: int) -> PipelineState:
+    """Stacked pipeline state with a leading robot axis (shapes described
+    by `fleet_effective_config(cfg)` — see its docstring)."""
+    one = init_pipeline_state(fleet_effective_config(cfg))
     return jax.tree.map(
         lambda x: jax.numpy.broadcast_to(x, (n_robots,) + x.shape), one)
 

@@ -128,3 +128,33 @@ def test_sharded_fleet_runs_on_mesh():
     np.testing.assert_allclose(np.asarray(new_state.map.elevation),
                                np.asarray(ref_state.map.elevation),
                                rtol=1e-5)
+
+
+def test_fleet_effective_config_describes_state_shapes():
+    """Checkpoint/template code must build fleet templates from
+    fleet_effective_config (staging forced off for fleets) — building
+    from the original cfg yields staging-shape mismatches with saved
+    fleet states (round-3 advisor finding)."""
+    import dataclasses
+
+    from gem_tpu.config import benchmark_config
+    from gem_tpu.mapping.pipeline import init_pipeline_state
+    from gem_tpu.multirobot.fleet import (fleet_effective_config,
+                                          make_fleet_state)
+
+    cfg = benchmark_config(length=32, max_points=512)
+    cfg = cfg.replace(submap=dataclasses.replace(cfg.submap,
+                                                 staging_frames=4))
+    fleet = make_fleet_state(cfg, 3)
+    eff = fleet_effective_config(cfg)
+    assert eff.submap.staging_frames == 0
+    tmpl = init_pipeline_state(eff)
+    flat_f = jax.tree.leaves(fleet)
+    flat_t = jax.tree.leaves(tmpl)
+    assert len(flat_f) == len(flat_t)
+    for f, t in zip(flat_f, flat_t):
+        assert f.shape == (3,) + t.shape, (f.shape, t.shape)
+    # the ORIGINAL cfg does NOT describe the fleet shapes
+    bad = init_pipeline_state(cfg)
+    assert any(f.shape != (3,) + t.shape
+               for f, t in zip(flat_f, jax.tree.leaves(bad)))
