@@ -148,6 +148,12 @@ _COLOR = _os.environ.get("GEM_FUSE_COLOR", "scan")
 # (e.g. KITTI cm grid).  See PARITY.md "G_fuse ties".
 _SORTK = int(_os.environ.get("GEM_FUSE_SORTK", 3))
 assert _SORTK in (2, 3)
+# chunk DMA ring depth: the geometry ladder pins a ~1.5 us/chunk fixed
+# cost (round-4a; PROFILE_r4.md) — if part of it is DMA issue-to-ready
+# latency peeking through double buffering, a deeper ring hides it by
+# keeping DEPTH-1 chunks in flight.
+_DMADEPTH = int(_os.environ.get("GEM_FUSE_DMADEPTH", 2))
+assert _DMADEPTH >= 2
 
 
 def _cdiv(a, b):
@@ -196,21 +202,26 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, CHUNK), 0)
 
+    D = _DMADEPTH
+
     def get_dma(slot, j):
         off = pl.multiple_of(aligned + j * CHUNK, 128)
         return pltpu.make_async_copy(
             pts_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    # prologue: chunks 0..D-2 in flight; body at j tops the ring back up
+    # with chunk j+D-1 into the slot the previous iteration freed
+    for d in range(D - 1):
+        @pl.when(d < n_chunks)
+        def _(d=d):
+            get_dma(d, d).start()
 
     def chunk_body(j, _):
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, D)
 
-        @pl.when(j + 1 < n_chunks)
+        @pl.when(j + D - 1 < n_chunks)
         def _():
-            get_dma(1 - slot, j + 1).start()
+            get_dma(jax.lax.rem(j + D - 1, D), j + D - 1).start()
         get_dma(slot, j).wait()
         p = buf[slot]                          # (8, CHUNK)
         # ALL per-point math stays in (1, CHUNK) ROW space: a (CHUNK, 1)
@@ -729,9 +740,12 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
 
     out_spec = pl.BlockSpec((_STATS, TILE), lambda t, *_: (0, t),
                             memory_space=pltpu.VMEM)
+    # chunk-buffer ring: depth _DMADEPTH for the dot kernel; the scan
+    # variants keep a hardcoded depth-2 pipeline
+    depth = _DMADEPTH if _PASSA not in ("scan", "scanp") else 2
     scratch = [
-        pltpu.VMEM((2, _ROWS, CHUNK), jnp.float32),           # chunk buffers
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((depth, _ROWS, CHUNK), jnp.float32),       # chunk buffers
+        pltpu.SemaphoreType.DMA((depth,)),
     ]
     # the dense color branch's (CHUNK, TILE) temps exceed the default
     # 16 MB scoped-vmem cap at larger CHUNK; the chip has 128 MB
