@@ -89,8 +89,14 @@ def sharded_fleet_step(cfg: PipelineConfig, mesh: Mesh, axis: str = "robot"):
     from jax import shard_map
 
     spec = P(axis)
+    # out_shardings pins EVERY output leaf to the robot sharding: under the
+    # multi-process runtime XLA normalizes zero-size leaves (the fleet's
+    # (R, 0, band) staging buffers) to replicated on output, so the carried
+    # state failed the next call's sharding-layout check
+    # (check_array_xla_sharding_layout_match) on the second frame.
+    sh = NamedSharding(mesh, P(axis))
 
-    @functools.partial(jax.jit)
+    @functools.partial(jax.jit, out_shardings=(sh, sh))
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(spec, spec), out_specs=(spec, spec),
