@@ -379,7 +379,7 @@ def cmd_run(args):
 
             dense_fn = _jax.jit(functools.partial(
                 densify_submap, base_resolution=cfg.map.resolution,
-                upsample=2, grid_size=256))
+                upsample=2, grid_size=256, order=args.dense_order))
         for i in range(min(int(s.num_submaps), s.counts.shape[0])):
             path = os.path.join(args.save_submaps, f"{i}.pcd")
             if dense_fn is not None:
@@ -751,6 +751,10 @@ def main(argv=None):
     rp.add_argument("--dense", action="store_true",
                     help="densify submaps on export (MLS-equivalent "
                          "surface upsample; the dense_mapping signal)")
+    rp.add_argument("--dense-order", type=int, default=2,
+                    help="densify polynomial order 1..5 (the reference's "
+                         "PCL MLS uses 5; 2 is exact on quadratic terrain "
+                         "and stabler on thin support)")
     rp.add_argument("--save-ortho", help="write orthomosaic PNG")
     rp.add_argument("--save-heatmap", help="write elevation heatmap PNG")
     rp.add_argument("--save-costmap",
