@@ -140,19 +140,23 @@ _COLOR = _os.environ.get("GEM_FUSE_COLOR", "scan")
 # sort comparator depth: 3 = (cell, -h, v) — segment-start rows carry the
 # (max-h, min-v tie) winner, matching kernels/fuse.py's value-based tie
 # rule exactly; 2 = (cell, -h) — drops the v key from the comparator
-# (a07c0dd: the 3rd key costs 1.0-1.2 ms of the 2.9 ms sort at 1M).  With
+# (DEFAULT since round 4: -0.46 ms isolated / ~-1.5 ms at the strict 1M
+# step, fusek_1m_sortk2 + step_1m_k2_c1024 vs round-3; accuracy harness
+# delta none — see bench/results/round4/).  With
 # 2 keys lax.sort's stability makes the winner at EXACT f32 height ties
 # the first point in batch order — which is precisely the reference
 # G_fuse's own rule (strictly-greater compare in the per-cell in-order
 # scan, gpu_process.cu:477-537), observable on height-quantized streams
 # (e.g. KITTI cm grid).  See PARITY.md "G_fuse ties".
-_SORTK = int(_os.environ.get("GEM_FUSE_SORTK", 3))
+_SORTK = int(_os.environ.get("GEM_FUSE_SORTK", 2))
 assert _SORTK in (2, 3)
 # chunk DMA ring depth: the geometry ladder pins a ~1.5 us/chunk fixed
 # cost (round-4a; PROFILE_r4.md) — if part of it is DMA issue-to-ready
 # latency peeking through double buffering, a deeper ring hides it by
 # keeping DEPTH-1 chunks in flight.
-_DMADEPTH = int(_os.environ.get("GEM_FUSE_DMADEPTH", 2))
+# (round-4d A/B: depth 4 = 10.83 ms vs 10.93 at depth 2 on the 1M
+# champion; depth 8 within noise of 4)
+_DMADEPTH = int(_os.environ.get("GEM_FUSE_DMADEPTH", 4))
 assert _DMADEPTH >= 2
 
 

@@ -471,14 +471,19 @@ def test_stream_sortk2_tie_rule_is_batch_order(monkeypatch):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_stream_tie_fuzz_divergence_is_bounded(seed):
+def test_stream_tie_fuzz_divergence_is_bounded(monkeypatch, seed):
     """Fuzz EXACT f32 height ties (coarsely quantized heights/variances so
-    duplicate keys are common) and pin PARITY.md's claim that the
-    documented overwrite-color corner is the ONLY stream/segment
-    divergence: elevation, variance and lowest must agree bit-for-bit
-    even under heavy tying; color/intensity may differ ONLY at cells
-    where an exact height tie among points with mixed color presence
-    exists (PARITY.md 'G_fuse color')."""
+    duplicate keys are common) and pin PARITY.md's claim that under the
+    3-KEY comparator (the backend-consistent mode; the round-4 default is
+    the reference-faithful 2-key batch-order rule, pinned separately by
+    test_stream_sortk2_tie_rule_is_batch_order) the documented
+    overwrite-color corner is the ONLY stream/segment divergence:
+    numeric planes agree even under heavy tying; color/intensity may
+    differ ONLY at cells where an exact height tie among points with
+    mixed color presence exists (PARITY.md 'G_fuse color')."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_SORTK", 3)
     rng = np.random.default_rng(100 + seed)
     L = 24
     P = 4096
