@@ -647,15 +647,6 @@ PHASES = {
 
 
 def worker(spec):
-    # Persistent compilation cache (set BEFORE jax import): step programs
-    # cost 100-1000 s to compile through the relay; the cache makes repeat
-    # bench runs skip them entirely (round-2 postmortem — bench.py must fit
-    # a ~8 min wall budget).  Cache keys include platform/topology, so
-    # sharing one dir with the tests' CPU cache is safe.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/gem_tpu_jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     t_imp0 = time.perf_counter()
     if spec.get("cpu"):
         import jax
@@ -663,22 +654,24 @@ def worker(spec):
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    # jax's persistent cache hard-codes supported_platforms = [tpu, gpu,
-    # cpu, neuron] (jax/_src/compilation_cache.py:85) and silently skips
-    # this image's tunneled "axon" TPU — which is why every driver bench
-    # phase recompiles cold (~120-300 s each, the BENCH_r03 partial-capture
-    # root cause).  The axon client is a real TPU PJRT under a relay, so
-    # executable (de)serialization proxies through; force the cache's
-    # platform gate open.  GEM_AXON_CACHE=0 reverts.
+    # Persistent compilation cache: step programs cost 100-1000 s to
+    # compile through the relay; the cache makes repeat bench runs skip
+    # them entirely (round-2 postmortem — bench.py must fit a ~8 min wall
+    # budget).  MUST be configured via jax.config.update, NOT env vars:
+    # this image's sitecustomize imports jax at interpreter startup, so
+    # JAX_* env vars set by the process itself are read too late and
+    # silently ignored (round-4 root cause of "entries are never
+    # written"; the axon backend itself reports platform "tpu" and
+    # serializes executables fine — cache hits load in <0.1 s).  Cache
+    # keys include platform/topology, so sharing one dir with the tests'
+    # CPU cache is safe.  GEM_AXON_CACHE=0 reverts.
     if os.environ.get("GEM_AXON_CACHE", "1") != "0":
-        try:
-            import jax._src.compilation_cache as _cc
-
-            with _cc._cache_initialized_mutex:
-                _cc._cache_checked = True
-                _cc._cache_used = True
-        except Exception:
-            pass
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/gem_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     spec.setdefault("device", str(jax.devices()[0]))
     import_s = round(time.perf_counter() - t_imp0, 1)

@@ -14,12 +14,13 @@ nproc = int(sys.argv[2])
 port = sys.argv[3]
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gem_tpu_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# config.update, not env: sitecustomize pre-imports jax (round-4 finding).
+jax.config.update("jax_compilation_cache_dir", "/tmp/gem_tpu_jax_cache")
 
 from gem_tpu.multirobot import distributed as dist  # noqa: E402
 

@@ -17,12 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent compilation cache keeps repeat suite runs fast on this 1-core box.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gem_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+# Persistent compilation cache keeps repeat suite runs fast on this 1-core
+# box.  MUST be jax.config.update, not env vars: sitecustomize imports jax
+# at interpreter startup, so JAX_* env vars set here are read too late and
+# silently ignored (round-4 finding).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/gem_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
