@@ -158,6 +158,13 @@ assert _SORTK in (2, 3)
 # champion; depth 8 within noise of 4)
 _DMADEPTH = int(_os.environ.get("GEM_FUSE_DMADEPTH", 4))
 assert _DMADEPTH >= 2
+# chunk-loop unroll factor (dot kernel): U chunks per fori_loop iteration.
+# The geometry ladder pins ~1.5 us/chunk of fixed cost; part of it is
+# Mosaic's per-iteration loop/branch overhead, and unrolling also lets two
+# chunks' one-hot builds and dots interleave for ILP.  Tail chunks are
+# guarded per-copy by pl.when.
+_UNROLL = int(_os.environ.get("GEM_FUSE_UNROLL", 1))
+assert _UNROLL >= 1
 
 
 def _cdiv(a, b):
@@ -195,7 +202,12 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     # (Aligning to CHUNK instead wastes up to CHUNK-1 reprocessed points per
     # tile — ~20% of all point visits at TILE=CHUNK.)
     aligned = (p_lo // 128) * 128
-    n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
+    # POINTLESS tiles (p_hi == p_lo, e.g. map regions outside the sensor
+    # disk) must run ZERO chunks: with a misaligned p_lo the naive ceil
+    # gives 1, and each wasted chunk costs the full one-hot/dot pass
+    # (~200 such tiles at the 1M flagship frame).
+    n_chunks = jnp.where(p_hi > p_lo,
+                         (p_hi - aligned + CHUNK - 1) // CHUNK, 0)
 
     stats_ref[0:12, :] = jnp.zeros((12, TILE), jnp.float32)
     stats_ref[12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
@@ -220,7 +232,7 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         def _(d=d):
             get_dma(d, d).start()
 
-    def chunk_body(j, _):
+    def do_chunk(j):
         slot = jax.lax.rem(j, D)
 
         @pl.when(j + D - 1 < n_chunks)
@@ -422,9 +434,22 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
                     tie, jnp.broadcast_to(jnp.transpose(inten),
                                           (CHUNK, TILE)), _INF), axis=0)
                 combine_vc(vc_chunk, col_chunk, int_chunk)
+
+    U = _UNROLL
+
+    def chunk_body(i, _):
+        if U == 1:
+            do_chunk(i)
+        else:
+            for u in range(U):
+                j = i * U + u
+
+                @pl.when(j < n_chunks)
+                def _(j=j):
+                    do_chunk(j)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, (n_chunks + U - 1) // U, chunk_body, 0)
 
 
 def _kernel_scan(starts_ref, pts_ref, *refs,
@@ -479,7 +504,9 @@ def _kernel_scan(starts_ref, pts_ref, *refs,
     p_lo = starts_ref[t]
     p_hi = starts_ref[t + 1]
     aligned = (p_lo // 128) * 128
-    n_chunks = (p_hi - aligned + CHUNK - 1) // CHUNK
+    # empty tiles run zero chunks (see _kernel)
+    n_chunks = jnp.where(p_hi > p_lo,
+                         (p_hi - aligned + CHUNK - 1) // CHUNK, 0)
 
     stats_ref[0:12, :] = jnp.zeros((12, TILE), jnp.float32)
     stats_ref[12:16, :] = jnp.full((4, TILE), _INF, jnp.float32)
@@ -664,6 +691,10 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
     if with_color:
         inten_in = jnp.where(batch.valid, batch.intensity, 0.0)
         color_f = batch.color.astype(jnp.float32)  # packed rgb<2^24: exact
+        # (A frame-level colorless lax.cond that sorts 3 operands instead
+        # of 5 was A/B'd on chip and is a wash at SORTK=2 — 10.07 vs
+        # 10.09 ms isolated at 1M — while costing a both-branch select
+        # under fleet vmap; retired, see PROFILE_r4.md.)
         ids_s, negh_s, v_s, inten_s, colf_s = jax.lax.sort(
             [ids, -hgt, var_in, inten_in, color_f],
             num_keys=_SORTK)
