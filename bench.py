@@ -273,15 +273,28 @@ def main():
            run_worker({"name": "matmul_ctl", "phase": "matmul",
                        "dim": 4096 if quick else 8192},
                       timeout=min(240.0, max(args.budget / 3, 60.0))))
+    if "error" in pre and not pre["error"].startswith("skipped") \
+            and budget_left() >= MIN_PHASE_S:
+        # One transient-tolerant retry at a quarter of the work: the
+        # round-4 full run hit a one-off >240 s wall on the 8192 control
+        # (relay warmup burst) while every subsequent phase was healthy —
+        # a single slow compile must not brand the whole capture.
+        pre = run_worker({"name": "matmul_ctl", "phase": "matmul",
+                          "dim": 4096},
+                         timeout=min(180.0, max(args.budget / 4, 60.0)))
+        pre["retried_at_dim"] = 4096
     detail.setdefault("phase_walls_s", {})["matmul_ctl"] = pre.get("wall_s")
     if "error" in pre and pre["error"].startswith("skipped"):
         # never probed (budget too small) — that is NOT a relay verdict
         detail["relay_precheck_skipped"] = True
         state["phases_skipped"].append("matmul_ctl")
     elif "error" in pre:
+        # Health-probe verdict only: flag it loudly, but do NOT count the
+        # probe toward `partial` — partiality means metric phases are
+        # missing, and the per-phase results below carry the real relay
+        # evidence (a dead relay fails them all anyway).
         detail["relay_precheck_failed"] = True
         detail["relay_precheck_error"] = pre["error"]
-        state["phases_errored"].append("matmul_ctl")
         print("bench.py: control-matmul precheck FAILED (client hang or "
               "dead-slow relay) — continuing with remaining budget",
               file=sys.stderr, flush=True)

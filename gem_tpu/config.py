@@ -196,7 +196,11 @@ class SubmapConfig:
     # 0 = compact every frame.  Keep 0 for vmap'd fleets: under vmap the
     # flush lax.cond lowers to a select that pays the flush EVERY frame
     # (multirobot/fleet.py forces 0 for this reason).
-    staging_frames: int = 8
+    # Default 32 (round-4 on-chip A/B at the strict 1M row: 14.96 ms vs
+    # 15.56 at 8, same session back-to-back) — a deeper ring amortizes
+    # the flush further at ~(ring depth x band) extra HBM, with the
+    # flush spike every 32nd frame instead of every 8th.
+    staging_frames: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
