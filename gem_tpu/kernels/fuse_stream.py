@@ -107,6 +107,16 @@ _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 # "transpose" = MXU/vector transpose of the pass-B one-hot
 _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
 # pass-A mechanism: "dot" = one-hot MXU broadcast (round-3 default);
+# "fact" = FACTORED one-hot (round-4e): cell-in-tile = r*128 + q with
+# q on 128 lanes and r in R = TILE/128 groups; the (CHUNK, TILE) one-hot
+# materialization — the kernel's dominant VPU cost, ~2 builds x
+# CHUNK*TILE compare/select vregs per chunk — collapses to a (C, 128)
+# column one-hot, a (128, C) transposed build for pass A, and a (C, W)
+# group mask, with the payload-to-group expansion done by tiny constant
+# one-hot MXU dots.  Every per-point sum still has exactly the same
+# nonzero terms over the same CHUNK contraction axis, so aggregates
+# match the dot kernel's up to f32 dot reassociation (~1 ULP measured).
+# Build cost stops scaling with N*TILE, un-sticking the TILE ladder;
 # "gather" = per-point in-kernel take_along_axis from the VMEM tile —
 # RETIRED on hardware: Mosaic's tpu.dynamic_gather cannot cross vregs
 # along the gather dim ("Multiple source vregs along gather dimension"),
@@ -452,6 +462,223 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
     jax.lax.fori_loop(0, (n_chunks + U - 1) // U, chunk_body, 0)
 
 
+def _kernel_fact(starts_ref, pts_ref, elevq_ref, varq_ref, stats_ref,
+                 buf, sem, *, mcfg, CHUNK, TILE, with_lowest, with_color):
+    """Factored-one-hot variant of `_kernel`: same 16 aggregate groups,
+    term-identical sums (every per-point sum has exactly one nonzero
+    (r, q) term and the scatter dots keep the same CHUNK contraction
+    axis; diffs vs the dot kernel are bounded by f32 dot reassociation,
+    ~1 ULP measured in tests/test_fuse_stream.py).
+
+    Layout deltas vs `_kernel` (see the _PASSA="fact" note at the top):
+
+    * cell-in-tile c = r*128 + q (r = group in [0, R=TILE/128), q = lane);
+      stats_ref is (16*R, 128) per tile — group k occupies rows
+      [k*R, (k+1)*R), element (k*R + r, q) = stat k of cell r*128 + q.
+      The host decodes with one dense XLA relayout.
+    * per chunk: coloh (C, 128) = [q_i == lane] for the scatter dots,
+      colohT (128, C) = its directly-built transposed twin for pass A,
+      gmask (C, W) = [r_i == lane % R], rmask (R, C) = [r_i == sublane]
+      — all skinny iota-compares; the (CHUNK, TILE) one-hot (the dot
+      kernel's dominant VPU cost, ~2 x CHUNK*TILE/1024 vregs per chunk)
+      is never materialized, so build cost stops scaling with TILE.
+    * payload rows (k, C) expand to A (C, W) via a constant one-hot MXU
+      dot (EXP[j, l] = [l // R == j], contract on the SUBLANE dim of both
+      operands — this also retires `_kernel`'s per-chunk b1/b2
+      transposes), then A *= gmask: A[i, k*R+r] = b[k, i] * [r_i == r].
+      Scatter: dot_general(A, coloh) -> (W, 128), rows [k*R+r].
+    * pass A: priA (128, 4R) packs (elev0, var0, st_h, st_v) q-major
+      (static halves from the host in (128, R) layout; anchor halves via
+      a small (2R, 128) transpose of the accumulated B1 rows);
+      tq = dot(priA, colohT) (4R, C) selects each point's q column and
+      rmask-multiply + an R-row sublane sum per group selects r.
+
+    Out-of-tile points (aligned prefix / pad / other tiles) have r_i
+    outside [0, R) (floor division), so gmask and rmask are all-zero for
+    them: they neither scatter nor receive a prior (the same "harmless"
+    argument as `_kernel`'s gather note).  The color argmin-v placement is
+    the "scan" path only (the dense "sweep" needs the full one-hot).
+    Timing-ablation knobs (_ABLATE/_OHT/_UNROLL) do not apply here.
+
+    Reference anchor: G_fuse (gpu_process.cu:477-537), like `_kernel`.
+    """
+    R = TILE // 128
+    W = max(128, 8 * R)          # A-matrix lane width (R <= 16 -> 128)
+    t = pl.program_id(0)
+    base = (t * TILE).astype(jnp.float32)
+    p_lo = starts_ref[t]
+    p_hi = starts_ref[t + 1]
+    aligned = (p_lo // 128) * 128
+    # empty tiles run zero chunks (see _kernel)
+    n_chunks = jnp.where(p_hi > p_lo,
+                         (p_hi - aligned + CHUNK - 1) // CHUNK, 0)
+
+    stats_ref[0:12 * R, :] = jnp.zeros((12 * R, 128), jnp.float32)
+    stats_ref[12 * R:16 * R, :] = jnp.full((4 * R, 128), _INF, jnp.float32)
+
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    sub_q = jax.lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, W), 1) % R
+    sub_r = jax.lax.broadcasted_iota(jnp.int32, (R, CHUNK), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def exp_mat(k):
+        # (k, W) constant expansion one-hot: EXP[j, l] = [l // R == j]
+        return jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (k, W), 1) // R
+            == jax.lax.broadcasted_iota(jnp.int32, (k, W), 0), 1.0, 0.0)
+
+    exp3 = exp_mat(3)
+    exp8 = exp_mat(8)
+    exp4 = exp_mat(4) if with_color else None
+
+    e_q = elevq_ref[0]           # (128, R): elevation prior, q-major
+    v_q = varq_ref[0]            # (128, R): clamped variance prior
+
+    D = _DMADEPTH
+
+    def get_dma(slot, j):
+        off = pl.multiple_of(aligned + j * CHUNK, 128)
+        return pltpu.make_async_copy(
+            pts_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
+
+    for d in range(D - 1):
+        @pl.when(d < n_chunks)
+        def _(d=d):
+            get_dma(d, d).start()
+
+    def scatter(rows, expk, gmask, coloh):
+        """rows (k, C) -> per-(group, q) sums (W, 128); rows [k*R + r]."""
+        a = jax.lax.dot_general(rows, expk, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(a * gmask, coloh,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def combine_vc(vc_chunk, col_chunk, int_chunk):       # all (R, 128)
+        vc_old = stats_ref[12 * R:13 * R, :]
+        lt = vc_chunk < vc_old
+        eq = vc_chunk == vc_old
+        pay_old = stats_ref[13 * R:15 * R, :]
+        pay_chunk = jnp.concatenate([col_chunk, int_chunk], axis=0)
+        lt2 = jnp.concatenate([lt, lt], axis=0)
+        eq2 = jnp.concatenate([eq, eq], axis=0)
+        stats_ref[13 * R:15 * R, :] = jnp.where(
+            lt2, pay_chunk,
+            jnp.where(eq2, jnp.minimum(pay_old, pay_chunk), pay_old))
+        stats_ref[12 * R:13 * R, :] = jnp.minimum(vc_old, vc_chunk)
+
+    def do_chunk(j):
+        slot = jax.lax.rem(j, D)
+
+        @pl.when(j + D - 1 < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(j + D - 1, D), j + D - 1).start()
+        get_dma(slot, j).wait()
+        p = buf[slot]                          # (8, CHUNK)
+        cl_i = (p[0:1, :] - base).astype(jnp.int32)     # exact integers
+        r_i = jnp.floor_divide(cl_i, 128)      # prefix -> r<0, pad -> r>=R
+        q_i = cl_i - r_i * 128                 # always in [0, 128)
+        coloh = jnp.where(jnp.transpose(q_i) == lane_q, 1.0, 0.0)
+        colohT = jnp.where(q_i == sub_q, 1.0, 0.0)
+        gmask = jnp.where(jnp.transpose(r_i) == lane_r, 1.0, 0.0)
+        rmask = jnp.where(r_i == sub_r, 1.0, 0.0)
+
+        h = p[1:2, :]
+        v = p[2:3, :]
+        isst = p[3:4, :]
+
+        # --- pass B1: start-row sums (h_max, v_argmax, count) ---------------
+        s1 = scatter(jnp.concatenate([isst * h, isst * v, isst], axis=0),
+                     exp3, gmask, coloh)
+        stats_ref[0:3 * R, :] += s1[0:3 * R, :]
+
+        # --- pass A: broadcast prior + start anchor to each point -----------
+        anch = jnp.transpose(stats_ref[0:2 * R, :])      # (128, 2R)
+        priA = jnp.concatenate([e_q, v_q, anch], axis=1)  # (128, 4R)
+        tq = jax.lax.dot_general(priA, colohT, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rm4 = jnp.concatenate([rmask] * 4, axis=0)        # (4R, C)
+        tm = tq * rm4
+        e0_pt = jnp.sum(tm[0:R, :], axis=0, keepdims=True)
+        v0_pt = jnp.sum(tm[R:2 * R, :], axis=0, keepdims=True)
+        sth = jnp.sum(tm[2 * R:3 * R, :], axis=0, keepdims=True)
+        stv = jnp.sum(tm[3 * R:4 * R, :], axis=0, keepdims=True)
+
+        # --- gate (identical row math to _kernel) ---------------------------
+        empty = e0_pt == mcfg.invalid_elevation
+        anchor_e = jnp.where(empty, sth, e0_pt)
+        anchor_v = jnp.where(empty, jnp.maximum(stv, mcfg.min_variance),
+                             v0_pt)
+        band = mcfg.mahalanobis_threshold * jnp.sqrt(anchor_v)
+        inl = jnp.abs(h - anchor_e) <= band
+        inl_f = inl.astype(jnp.float32)
+        w = 1.0 / jnp.maximum(v, _WEIGHT_EPS)
+        argout = isst * (~inl).astype(jnp.float32)
+        z = jnp.zeros_like(h)
+        low_c = p[7:8, :] * (h + 3.0 * v) if with_lowest else z
+
+        # --- pass B2: gated sums + start-row outlier payload + lowest -------
+        if with_color:
+            inten = p[4:5, :]
+            colf = p[5:6, :]
+            hc = p[6:7, :]
+            oc = argout * hc
+            b2 = jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout,
+                 oc, oc * v, oc * colf, oc * inten, low_c], axis=0)
+        else:
+            b2 = jnp.concatenate(
+                [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
+                axis=0)
+        s2 = scatter(b2, exp8, gmask, coloh)
+        stats_ref[4 * R:12 * R, :] += s2[0:8 * R, :]
+
+        if with_color:
+            @pl.when(jnp.sum(hc) > 0.0)
+            def _():
+                # segmented per-cell argmin-v scan: identical to _kernel's
+                # _COLOR="scan" path; only the placement dot is factored
+                contrib = (inl_f * hc) > 0.5
+                vrow = jnp.where(contrib, v, _INF)
+                crow = jnp.where(contrib, colf, _INF)
+                irow = jnp.where(contrib, inten, _INF)
+                kk = 1
+                while kk < CHUNK:
+                    same = ((pltpu.roll(cl_i, kk, 1) == cl_i)
+                            & (lane1 >= kk))
+                    pv = jnp.where(same, pltpu.roll(vrow, kk, 1), _INF)
+                    pc = jnp.where(same, pltpu.roll(crow, kk, 1), _INF)
+                    pi = jnp.where(same, pltpu.roll(irow, kk, 1), _INF)
+                    lt = pv < vrow
+                    eqv = pv == vrow
+                    crow = jnp.where(
+                        lt, pc, jnp.where(eqv, jnp.minimum(crow, pc), crow))
+                    irow = jnp.where(
+                        lt, pi, jnp.where(eqv, jnp.minimum(irow, pi), irow))
+                    vrow = jnp.minimum(vrow, pv)
+                    kk *= 2
+                is_last = ((pltpu.roll(cl_i, CHUNK - 1, 1) != cl_i)
+                           | (lane1 == CHUNK - 1))
+                fin = is_last & (vrow < _INF)
+                s2c = scatter(jnp.concatenate(
+                    [fin.astype(jnp.float32),
+                     jnp.where(fin, vrow, 0.0),
+                     jnp.where(fin, crow, 0.0),
+                     jnp.where(fin, irow, 0.0)], axis=0), exp4,
+                    gmask, coloh)
+                has = s2c[0:R, :] > 0.0
+                combine_vc(jnp.where(has, s2c[R:2 * R, :], _INF),
+                           jnp.where(has, s2c[2 * R:3 * R, :], _INF),
+                           jnp.where(has, s2c[3 * R:4 * R, :], _INF))
+
+    def chunk_body(i, _):
+        do_chunk(i)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
 def _kernel_scan(starts_ref, pts_ref, *refs,
                  mcfg, CHUNK, TILE, with_lowest, with_color,
                  prior_dot=False):
@@ -768,15 +995,15 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
         return jnp.pad(flat, (0, cpad - ncell),
                        constant_values=fill).reshape(n_tiles, 1, TILE)
 
-    if _PASSA != "scan":
+    if _PASSA not in ("scan", "fact"):
         elev0 = tiles(state.elevation, mcfg.invalid_elevation)
         var0 = tiles(jnp.maximum(state.variance, mcfg.min_variance),
                      mcfg.invalid_variance)
 
     out_spec = pl.BlockSpec((_STATS, TILE), lambda t, *_: (0, t),
                             memory_space=pltpu.VMEM)
-    # chunk-buffer ring: depth _DMADEPTH for the dot kernel; the scan
-    # variants keep a hardcoded depth-2 pipeline
+    # chunk-buffer ring: depth _DMADEPTH for the dot/fact kernels; the
+    # scan variants keep a hardcoded depth-2 pipeline
     depth = _DMADEPTH if _PASSA not in ("scan", "scanp") else 2
     scratch = [
         pltpu.VMEM((depth, _ROWS, CHUNK), jnp.float32),       # chunk buffers
@@ -823,6 +1050,46 @@ def fuse_stream(state: MapState, cfg: PipelineConfig, batch: PointBatch,
             out_shape=jax.ShapeDtypeStruct((_STATS, cpad), jnp.float32),
             compiler_params=cparams, interpret=interpret,
         )(starts, pts, elev0, var0)
+    elif _PASSA == "fact":
+        R = TILE // 128
+
+        def tiles_q(plane, fill):
+            # (n_tiles, 128, R): q on sublanes, r on lanes — the pass-A
+            # priA orientation (one XLA relayout per call, not per chunk)
+            flat = plane.reshape(-1).astype(jnp.float32)
+            return jnp.pad(flat, (0, cpad - ncell), constant_values=fill) \
+                .reshape(n_tiles, R, 128).transpose(0, 2, 1)
+
+        elevq = tiles_q(state.elevation, mcfg.invalid_elevation)
+        varq = tiles_q(jnp.maximum(state.variance, mcfg.min_variance),
+                       mcfg.invalid_variance)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # pts
+                pl.BlockSpec((1, 128, R), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # elevq
+                pl.BlockSpec((1, 128, R), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # varq
+            ],
+            out_specs=pl.BlockSpec((_STATS * R, 128), lambda t, *_: (0, t),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )
+        kern = functools.partial(
+            _kernel_fact, mcfg=mcfg, CHUNK=CHUNK, TILE=TILE,
+            with_lowest=with_lowest, with_color=with_color)
+        sf = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((_STATS * R, n_tiles * 128),
+                                           jnp.float32),
+            compiler_params=cparams, interpret=interpret,
+        )(starts, pts, elevq, varq)
+        # (16R, nt*128) block layout -> (16, cpad): element (k*R + r,
+        # t*128 + q) is stat k of cell t*TILE + r*128 + q
+        stats = sf.reshape(_STATS, R, n_tiles, 128) \
+            .transpose(0, 2, 1, 3).reshape(_STATS, cpad)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

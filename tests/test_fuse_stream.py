@@ -331,6 +331,97 @@ def test_stream_passa_scanp_one_cell_carry(monkeypatch):
     _compare(a, b, atol=5e-5)
 
 
+@pytest.mark.parametrize("seed,occ,valid_frac", [(0, 0.5, 0.9),
+                                                 (1, 0.0, 1.0),
+                                                 (2, 1.0, 0.5)])
+def test_stream_passa_fact_matches_segment(monkeypatch, seed, occ,
+                                           valid_frac):
+    """GEM_FUSE_PASSA=fact (round-4 factored one-hot: cell = r*128 + q,
+    (C,128) column one-hot + group masks + constant-EXP MXU expansion,
+    (16R, 128) stats layout) — exact parity with the segment backend."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    monkeypatch.setattr(fs, "_PASSA", "fact")
+    rng = np.random.default_rng(seed)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, occ)
+    batch = _random_batch(rng, L, 2048, valid_frac)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=False,
+                                            interpret=True))(st, batch)
+    _compare(a, b)
+
+
+def test_stream_passa_fact_one_cell_and_lowest(monkeypatch):
+    """fact under the one-cell many-chunk skew (aligned-prefix lanes with
+    negative r, out-of-tile lanes with r >= R must stay inert) + the
+    ride-along lowest must match the dot kernel."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    rng = np.random.default_rng(3)
+    L = 32
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.95, one_cell=L * L // 2)
+    a = jax.jit(lambda s, b: fuse(s, cfg, b, backend="segment"))(st, batch)
+    monkeypatch.setattr(fs, "_PASSA", "fact")
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=True,
+                                            interpret=True))(st, batch)
+    _compare(a, b, atol=5e-5)
+    monkeypatch.setattr(fs, "_PASSA", "dot")
+    c = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=True,
+                                            interpret=True))(st, batch)
+    np.testing.assert_allclose(np.asarray(b.lowest), np.asarray(c.lowest),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("tile", [128, 256, 2048])
+def test_stream_passa_fact_tile_ladder(monkeypatch, tile):
+    """fact across group counts R = 1, 2, 16 (TILE = R*128): results match
+    the dot kernel to f32 dot-reassociation tolerance, colors exactly."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    rng = np.random.default_rng(11)
+    L = 64
+    cfg = benchmark_config(length=L, max_points=4096)
+    st = _random_state(rng, cfg.map, 0.5)
+    batch = _random_batch(rng, L, 4096, 0.9)
+    monkeypatch.setattr(fs, "_PASSA", "dot")
+    a = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=True,
+                                            interpret=True))(st, batch)
+    monkeypatch.setattr(fs, "_PASSA", "fact")
+    monkeypatch.setattr(fs, "_TILE_ENV", tile)
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=True,
+                                            interpret=True))(st, batch)
+    _compare(a, b)
+    np.testing.assert_allclose(np.asarray(a.lowest), np.asarray(b.lowest),
+                               atol=1e-6)
+
+
+def test_stream_passa_fact_colorless(monkeypatch):
+    """fact with with_color=False (the 8-column B2 layout's color columns
+    zeroed statically) matches the dot kernel."""
+    import gem_tpu.kernels.fuse_stream as fs
+
+    rng = np.random.default_rng(9)
+    L = 40
+    cfg = benchmark_config(length=L, max_points=2048)
+    st = _random_state(rng, cfg.map, 0.4)
+    batch = _random_batch(rng, L, 2048, 0.9)
+    monkeypatch.setattr(fs, "_PASSA", "dot")
+    a = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=True,
+                                            with_color=False,
+                                            interpret=True))(st, batch)
+    monkeypatch.setattr(fs, "_PASSA", "fact")
+    b = jax.jit(lambda s, b: fs.fuse_stream(s, cfg, b, with_lowest=True,
+                                            with_color=False,
+                                            interpret=True))(st, batch)
+    for k in ("elevation", "variance", "lowest"):
+        np.testing.assert_allclose(np.asarray(getattr(a, k)),
+                                   np.asarray(getattr(b, k)), atol=5e-6)
+
+
 def test_stream_passa_scan_lowest_and_colorless(monkeypatch):
     """scan variant with the lowest bound riding along and with_color=False
     (the 7-row colorless layout shares code with the 15-row one)."""
@@ -365,7 +456,7 @@ def test_stream_passa_scan_lowest_and_colorless(monkeypatch):
                                    np.asarray(getattr(e, k)), atol=1e-6)
 
 
-@pytest.mark.parametrize("passa", ["dot", "scan", "scanp"])
+@pytest.mark.parametrize("passa", ["dot", "scan", "scanp", "fact"])
 def test_stream_nan_invalid_points_stay_inert(monkeypatch, passa):
     """A NaN-coordinate point (marked invalid by pointproc's band filter,
     payload left raw) must not poison the map: the one-hot contraction
@@ -406,7 +497,7 @@ def test_stream_nan_invalid_points_stay_inert(monkeypatch, passa):
                                       err_msg=(passa, k))
 
 
-@pytest.mark.parametrize("passa", ["dot", "scanp"])
+@pytest.mark.parametrize("passa", ["dot", "scanp", "fact"])
 def test_stream_sortk2_matches_on_tie_free_data(monkeypatch, passa):
     """GEM_FUSE_SORTK=2 (comparator drops the v key): identical results to
     the segment backend whenever no exact f32 height tie exists."""
