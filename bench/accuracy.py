@@ -28,12 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def _final_state(cfg, frames, device, fuse_backend):
+def _final_state(cfg, frames, device, fuse_backend, feature_backend="xla"):
     import jax
 
     from gem_tpu.mapping.pipeline import init_pipeline_state, step
 
-    f = jax.jit(functools.partial(step, cfg=cfg, fuse_backend=fuse_backend),
+    f = jax.jit(functools.partial(step, cfg=cfg, fuse_backend=fuse_backend,
+                                  feature_backend=feature_backend),
                 )
     state = jax.device_put(init_pipeline_state(cfg), device)
     for fr in frames:
@@ -51,6 +52,14 @@ def main():
     ap.add_argument("--backends", default="",
                     help="comma list; default = the production backend "
                          "resolve_backend() picks, i.e. what users run")
+    ap.add_argument("--feature-backend", default="xla",
+                    help="feature backend for the DEVICE replay (the bench "
+                         "rows ship pallas; features feed traver which "
+                         "gates raytrace deletions, so flagship-geometry "
+                         "accuracy should measure the shipped path)")
+    ap.add_argument("--out", default="",
+                    help="output JSON path; default = the committed "
+                         "BENCH_ACCURACY.json (sweeps should redirect)")
     args = ap.parse_args()
 
     import jax
@@ -105,8 +114,10 @@ def main():
     sx = jnp.repeat(g, L)
     sy = jnp.tile(g, L)
 
+    res["feature_backend_device"] = args.feature_backend
     for be in backends:
-        s_dev = _final_state(cfg, frames, dev, be)
+        s_dev = _final_state(cfg, frames, dev, be,
+                             feature_backend=args.feature_backend)
         e_dev = np.asarray(s_dev.map.elevation)
         both = (e_dev != -10) & (e_cpu != -10)
         row = {
@@ -139,8 +150,9 @@ def main():
     res["validity_agreement"] = head["validity_agreement"]
 
     print(json.dumps(res, indent=2))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_ACCURACY.json"), "w") as f:
+    out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_ACCURACY.json")
+    with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
 
 
