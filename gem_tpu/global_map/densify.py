@@ -54,7 +54,8 @@ def densify_submap(buf: PointBuffer, *, base_resolution: float,
     The fine grid has `grid_size`^2 cells at base_resolution/upsample
     spacing, anchored at `origin` (defaults to the buffer's valid-point
     minimum).  Heights come from the local polynomial fit of the given
-    `order` (2..5; a0 at the cell center); traversability/variance/color
+    `order` (1..5, matching the CLI's --dense-order; 1 = planar
+    fit, 5 = the reference MLS default; a0 at the cell center); traversability/variance/color
     stay distance-weighted aggregates.
     """
     assert 1 <= order <= 5, order

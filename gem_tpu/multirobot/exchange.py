@@ -21,9 +21,16 @@ from gem_tpu.global_map.loop_closure import apply_loop_closure
 
 
 def merge_fleet_stores(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
-                       max_total: int | None = None) -> sm.SubmapStore:
+                       max_total: int | None = None,
+                       return_mapping: bool = False):
     """Concatenate the per-robot submap rings (leading robot axis) into one
-    joint store, oldest-first per robot, keeping slot/pose alignment."""
+    joint store, oldest-first per robot, keeping slot/pose alignment.
+
+    With `return_mapping` returns (merged, (r_idx, k_idx)) where the int32
+    numpy arrays give each merged slot's (robot, source slot) provenance —
+    the SINGLE source of truth for robot attribution (round-4 advisor: a
+    duplicated selection loop in loop_detect could silently diverge and
+    misattribute robots to merged indices)."""
     R = fleet_submaps.counts.shape[0]
     K = fleet_submaps.counts.shape[1]
     total = max_total or R * K
@@ -44,14 +51,16 @@ def merge_fleet_stores(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
         sel.extend((r, k) for _, k in sorted(occupied))
     sel = sel[:total]
     out = len(sel)
+    r_np = np.asarray([s[0] for s in sel], np.int32)
+    k_np = np.asarray([s[1] for s in sel], np.int32)
     if out == 0:
-        return merged
-    r_idx = jnp.asarray([s[0] for s in sel], jnp.int32)
-    k_idx = jnp.asarray([s[1] for s in sel], jnp.int32)
+        return (merged, (r_np, k_np)) if return_mapping else merged
+    r_idx = jnp.asarray(r_np)
+    k_idx = jnp.asarray(k_np)
     gathered = jax.tree.map(lambda a: a[r_idx, k_idx], fleet_submaps.slots)
     slots = jax.tree.map(lambda full, g: full.at[:out].set(g),
                          merged.slots, gathered)
-    return merged.replace(
+    merged = merged.replace(
         slots=slots,
         counts=merged.counts.at[:out].set(
             fleet_submaps.counts[r_idx, k_idx]),
@@ -62,6 +71,7 @@ def merge_fleet_stores(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,
         # Joint opt_poses are indexed by merged order, so ids restart 0..out.
         kf_ids=merged.kf_ids.at[:out].set(jnp.arange(out, dtype=jnp.int32)),
     )
+    return (merged, (r_np, k_np)) if return_mapping else merged
 
 
 def joint_loop_closure(fleet_submaps: sm.SubmapStore, cfg: PipelineConfig,

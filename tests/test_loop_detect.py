@@ -12,8 +12,10 @@ import jax.numpy as jnp
 from gem_tpu.config import (BodyFilterConfig, MapConfig, PipelineConfig,
                             SensorConfig, SubmapConfig)
 from gem_tpu.global_map import submaps as sm
-from gem_tpu.multirobot.loop_detect import (fleet_loop_closure,
+from gem_tpu.multirobot.loop_detect import (InterLoop, _drift_consensus,
+                                            fleet_loop_closure,
                                             optimize_pose_graph,
+                                            optimize_z_graph,
                                             phase_correlate_2d)
 
 
@@ -61,19 +63,21 @@ def _buf(xy, z, capacity):
         valid=jnp.asarray(np.arange(capacity) < n))
 
 
-def _robot_store(cfg, places, drift=(0.0, (0.0, 0.0))):
+def _robot_store(cfg, places, drift=(0.0, (0.0, 0.0)), drift_z=0.0):
     """Submaps at `places` (true keyframe xy); the robot's ESTIMATED frame
-    is the truth transformed by `drift` = (theta, t): stored coords
-    p_est = R(theta) @ p_true + t."""
+    is the truth transformed by `drift` = (theta, t) plus a vertical
+    offset `drift_z`: stored coords p_est = R(theta) @ p_true + t,
+    z_est = z_true + drift_z (true terrain z = 1.0, true pose z = 0)."""
     theta, t = drift
     store = sm.init_store(cfg)
     for seed, place in places:
         scene = _place_scene(seed) + np.asarray(place, np.float32)
         est = _apply_se2(scene, theta, t)
         c_est = _apply_se2(np.asarray([place], np.float32), theta, t)[0]
-        z = np.full(len(est), 1.0, np.float32)
+        z = np.full(len(est), 1.0 + drift_z, np.float32)
         pose = np.zeros(7, np.float32)
         pose[:2] = c_est
+        pose[2] = drift_z
         pose[3] = math.cos(theta / 2)
         pose[6] = math.sin(theta / 2)
         store = sm.finalize_submap(store, _buf(est, z, cfg.submap.capacity),
@@ -143,6 +147,75 @@ def test_fleet_loop_closure_end_to_end():
     pb = np.stack([xb[vb], yb[vb]], axis=1)
     d = np.linalg.norm(pa[None, :, :] - pb[:, None, :], axis=-1).min(axis=1)
     assert np.median(d) < 3 * bev_res, np.median(d)
+
+
+def test_z_graph_closes_linear_loop():
+    """Two robots (nodes 0-1 = A at z 0, nodes 2-3 = B believing z = 0.7
+    from drift); odometry edges keep each robot rigid, the loop edge pins
+    B to A's height: B's optimized z returns to 0."""
+    e_z = np.asarray([0.0, 0.0, 0.7, 0.7])
+    edges = [(0, 1, 0.0, 1.0), (2, 3, 0.0, 1.0),
+             # loop i=0, j=2: measured dz = drift_i - drift_j = -0.7
+             # -> m = (e_j - e_i) + dz = 0.0
+             (0, 2, 0.0, 10.0)]
+    out = optimize_z_graph(e_z, edges)
+    np.testing.assert_allclose(out, [0.0, 0.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_drift_consensus_keeps_every_robot_pair():
+    """3+ robots: consensus clusters PER robot pair — a verified loop
+    between (0, 2) must survive alongside two agreeing (0, 1) loops
+    (round-4 advisor: the single-cluster version discarded it, leaving
+    robot 2 permanently misaligned)."""
+    mk = lambda i, j, t: InterLoop(i=i, j=j, yaw=0.0,
+                                   t=np.asarray(t, np.float64),
+                                   similarity=0.95, peak=0.5)
+    # nodes 0-1 robot 0, node 2 robot 1, node 3 robot 2; all at origin
+    xyt = np.zeros((4, 3))
+    robot_of = np.asarray([0, 0, 1, 2])
+    loops = [mk(0, 2, (1.0, 0.0)), mk(1, 2, (1.0, 0.05)),   # pair (0, 1)
+             mk(0, 3, (-2.0, 1.0))]                         # pair (0, 2)
+    kept = _drift_consensus(loops, xyt, robot_of)
+    pairs = {(robot_of[lp.i], robot_of[lp.j]) for lp in kept}
+    assert pairs == {(0, 1), (0, 2)}
+    assert len(kept) == 3
+    # an outlier within a pair is still rejected by that pair's cluster
+    loops.append(mk(0, 2, (40.0, -7.0)))                    # bogus (0, 1)
+    kept = _drift_consensus(loops, xyt, robot_of)
+    assert len(kept) == 3
+
+
+def test_fleet_loop_closure_corrects_z_drift():
+    """Injected VERTICAL drift on robot B (no external poses anywhere):
+    the loop factors carry a dz measured from matched-submap height
+    statistics and the z graph returns B's poses and points to true
+    height (round-4 verdict missing #1; reference anchor: Map_optmove's
+    height update, gpu_process.cu:1195-1254)."""
+    cfg = _cfg()
+    theta = 2 * math.pi * 5 / 64
+    t_d = (1.2, -0.8)
+    dz = 0.7
+    places = [(7, (0.0, 0.0)), (8, (14.0, 3.0))]
+    store_a = _robot_store(cfg, places)
+    store_b = _robot_store(cfg, places, drift=(theta, t_d), drift_z=dz)
+    fleet = jax.tree.map(lambda *xs: jnp.stack(xs), store_a, store_b)
+
+    corrected, stats, records = fleet_loop_closure(fleet, cfg)
+    assert stats["n_loops"] >= 2, stats
+    assert stats["n_z_loops"] >= 1, stats
+    # the per-loop measured offset is drift_a - drift_b = -0.7
+    for v in stats["loop_dz_m"]:
+        np.testing.assert_allclose(v, -dz, atol=0.05)
+    assert stats["max_z_correction_m"] > 0.5, stats
+
+    poses = np.asarray(jax.device_get(corrected.poses))
+    np.testing.assert_allclose(poses[2:4, 2], 0.0, atol=0.05)
+    # B's re-stitched points dropped back to the true terrain height
+    zb = np.asarray(corrected.slots.z[2])
+    vb = np.asarray(corrected.slots.valid[2])
+    np.testing.assert_allclose(np.median(zb[vb]), 1.0, atol=0.05)
+    # the wire record carries the z factor
+    assert abs(records.items[0].factor_pose[2] + dz) < 0.05
 
 
 def test_fleet_loop_closure_distinct_areas_no_loops():
