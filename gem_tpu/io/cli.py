@@ -561,7 +561,8 @@ def cmd_fleet(args):
 
         corrected, lstats, records = fleet_loop_closure(
             jax.device_get(state.submaps), cfg,
-            sim_threshold=args.loop_sim_threshold)
+            sim_threshold=args.loop_sim_threshold,
+            center_gate=args.loop_center_gate)
         print("loop-detect:", _json.dumps(lstats))
         if args.publish_interpr:
             os.makedirs(os.path.dirname(args.publish_interpr) or ".",
@@ -807,6 +808,13 @@ def main(argv=None):
                          "DiSCO signatures, optimize the joint pose graph "
                          "and re-stitch (MR_SLAM-lite; no external poses)")
     fp.add_argument("--loop-sim-threshold", type=float, default=0.93)
+    fp.add_argument("--loop-center-gate", type=float, default=None,
+                    help="candidate colocation gate in meters (default "
+                         "0.4 * overlap_radius); odometry drift adds to "
+                         "the believed keyframe distance, so widen this "
+                         "when expecting more inter-robot drift — the "
+                         "peak threshold + drift consensus reject the "
+                         "extra false candidates")
     fp.add_argument("--world-seed", type=int, default=-1,
                     help=">=0: all robots share this world (per-robot "
                          "headings) so trajectories cross — the "
