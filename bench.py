@@ -155,6 +155,9 @@ def main():
             out["phases_done"] = state["phases_done"]
             out["phases_skipped"] = state["phases_skipped"]
             out["phases_errored"] = state["phases_errored"]
+            if state.get("phases_skipped_optional"):
+                out["phases_skipped_optional"] = \
+                    state["phases_skipped_optional"]
             if reason:
                 out["partial_reason"] = reason
         if detail.get("relay_precheck_failed"):

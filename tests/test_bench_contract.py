@@ -86,4 +86,23 @@ def test_bench_emits_json_with_zero_budget(tmp_path):
     # read as a relay-failure verdict for a relay that was never probed.
     assert set(out["phases_skipped"]) == {"matmul_ctl", "step_hz_strict",
                                           "step_tp_big", "step_tp_strict"}
+    # the colored row is a BONUS (priority-4) phase: budget-skipping it is
+    # expected behavior and must not poison the partial verdict's set above
+    assert out["phases_skipped_optional"] == ["step_tp_colored"]
     assert out["phases_errored"] == []
+
+
+def test_bench_detail_default_never_clobbers_committed_artifact(tmp_path):
+    """`python bench.py` with NO --detail-out/--commit-detail must not
+    touch the committed BENCH_DETAIL.json (the round-4 driver run
+    clobbered it, silently dropping the colored + ref-cadence rows)."""
+    committed = os.path.join(REPO, "BENCH_DETAIL.json")
+    before = open(committed).read() if os.path.exists(committed) else None
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--quick", "--budget", "1", "--fuse-backend", "stream"],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+        env={**os.environ, "GEM_ROUND3_SELF": "1"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    after = open(committed).read() if os.path.exists(committed) else None
+    assert before == after, "default bench.py run wrote BENCH_DETAIL.json"
