@@ -64,6 +64,18 @@ def main():
 
     import jax
 
+    # persistent compile cache (same contract as bench/probe.py worker):
+    # L=1000 step compiles cost minutes on this box; MUST be configured via
+    # jax.config.update, not env vars (sitecustomize pre-imports jax —
+    # CLAUDE.md / PROFILE_r4.md root cause)
+    if os.environ.get("GEM_AXON_CACHE", "1") != "0":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/gem_tpu_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from gem_tpu.config import (BodyFilterConfig, MapConfig, PipelineConfig,
                                 SensorConfig)
     from gem_tpu.core import index_math as im

@@ -75,28 +75,50 @@ _WEIGHT_EPS = 1e-9   # matches kernels/fuse.py
 # fixed work scales with ncell/TILE grid steps + N/CHUNK chunk iterations.
 # GEM_FUSE_TILE / GEM_FUSE_CHUNK force fixed values (0 = auto per call).
 _TILE_ENV = int(_os.environ.get("GEM_FUSE_TILE", 0))
-# default CHUNK: 512 for typical frames; >=1M-point frames amortise the
-# per-chunk loop/DMA overhead better at 1024 (chunk count dominates there:
-# round-3 A/B at 1M pts measured 17.1 ms vs 18.1 ms, bench/results/round3/
-# step_1m_chunk1024.txt).
+# default CHUNK/TILE: see _pick_chunk/_pick_tile — per-backend measured
+# optima (fact since round 5, dot kept for GEM_FUSE_PASSA=dot).
 _CHUNK_ENV = int(_os.environ.get("GEM_FUSE_CHUNK", 0))
 assert _TILE_ENV % 128 == 0 and _CHUNK_ENV % 128 == 0
 
 
 def _pick_chunk(n_points: int) -> int:
+    """fact kernel (round-5 on-chip ladder, bench/results/PROFILE_r5.md):
+    per-chunk cost no longer scales with TILE, so the measured optimum is
+    the chunk-count knee — c2048 at 1M pts (8.97 vs 9.46 ms at c1024,
+    t2048), c1024 at the 131k Hz row (2.30 vs 2.36 at c512, t4096);
+    c4096 regresses at 1M (tile-boundary pad waste once CHUNK reaches the
+    average points-per-tile).  Small frames keep 512 (chunk alignment
+    waste scales with CHUNK/points).  Dot keeps the round-3/4 model."""
     if _CHUNK_ENV:
         return _CHUNK_ENV
+    if _PASSA == "fact":
+        if n_points >= (1 << 21):
+            return 4096          # 4M row: 28.0 ms at c4096 vs 31.1 c2048
+        if n_points >= (1 << 20):
+            return 2048
+        return 1024 if n_points >= (1 << 16) else 512
     return 1024 if n_points >= (1 << 20) else 512
 
 
 def _pick_tile(n_points: int, ncell: int) -> int:
-    """One-hot work scales with N*TILE (point-bound); per-tile fixed cost
-    with ncell/TILE (tile-count-bound).  Round-3b on-chip A/B at 1000^2:
-    TILE=2048 is -9.2% at 128k pts (7.93 vs 8.73 ms) and +8.8% at 1M
-    (16.74 vs 15.38) — the linear model from those two deltas puts the
-    crossover at N* ~ 0.45*ncell, so pick 2048 iff 2*N <= ncell."""
+    """Dot kernel: one-hot work scales with N*TILE (point-bound); per-tile
+    fixed cost with ncell/TILE (tile-count-bound).  Round-3b on-chip A/B at
+    1000^2: TILE=2048 is -9.2% at 128k pts (7.93 vs 8.73 ms) and +8.8% at
+    1M (16.74 vs 15.38) — the linear model from those two deltas puts the
+    crossover at N* ~ 0.45*ncell, so pick 2048 iff 2*N <= ncell.
+
+    fact kernel: the build cost stops scaling with TILE (only the (C, W)
+    expansion masks grow, W = TILE/16), so bigger tiles win on fewer grid
+    steps + fewer boundary chunks until the per-POINT mask work N*W takes
+    over: round-5 ladders have t4096 < t2048 < t8192 at 1M pts (8.83 /
+    8.97 / 9.57 ms) and t4096 best at 131k (2.36 vs 2.80 at t2048), but
+    t2048 < t4096 at 4M (28.0 vs 31.1) — tile-count-bound up to point
+    density ~1 pt/cell (1M row: N = 1.05 * ncell), mask-bound by 4
+    pts/cell; the unmeasured crossover is split at 2."""
     if _TILE_ENV:
         return _TILE_ENV
+    if _PASSA == "fact":
+        return 4096 if n_points <= 2 * ncell else 2048
     return 2048 if 2 * n_points <= ncell else 1024
 _ROWS = 8            # packed point-matrix rows (both color modes)
 _STATS = 16          # aggregate rows per cell (see _kernel docstring)
@@ -106,8 +128,10 @@ _ABLATE = set(filter(None, _os.environ.get("GEM_FUSE_ABLATE", "").split(",")))
 # pass-A one-hot source: "build" = second iota-compare (default),
 # "transpose" = MXU/vector transpose of the pass-B one-hot
 _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
-# pass-A mechanism: "dot" = one-hot MXU broadcast (round-3 default);
-# "fact" = FACTORED one-hot (round-4e): cell-in-tile = r*128 + q with
+# pass-A mechanism: "fact" = FACTORED one-hot (round-4e design, DEFAULT
+# since round 5 — on-chip ladder champion at t4096/c2048/d8: 8.6-8.8 ms
+# isolated fusek at 1M vs the dot kernel's 10.86,
+# bench/results/PROFILE_r5.md): cell-in-tile = r*128 + q with
 # q on 128 lanes and r in R = TILE/128 groups; the (CHUNK, TILE) one-hot
 # materialization — the kernel's dominant VPU cost, ~2 builds x
 # CHUNK*TILE compare/select vregs per chunk — collapses to a (C, 128)
@@ -132,8 +156,11 @@ _OHT = _os.environ.get("GEM_FUSE_OHT", "build")
 # at ~7.5 ms each on this chip (round4/gather1m_sorted.txt);
 # "scanp" = scan's fused single B dot + segmented anchor, with the
 # prior broadcast by the pass-A one-hot dot ((TILE, 2) LHS) instead of
-# the gather — the gather-free variant of the same restructure.
-_PASSA = _os.environ.get("GEM_FUSE_PASSA", "dot")
+# the gather — the gather-free variant of the same restructure;
+# "dot" = the round-3/4 default: two (CHUNK, TILE) iota-compare one-hot
+# builds + three skinny MXU dots per chunk (still the fastest mode below
+# TILE=2048, where fact's masks cost more than the one-hot they replace).
+_PASSA = _os.environ.get("GEM_FUSE_PASSA", "fact")
 # color argmin-v mechanism: "sweep" = dense (CHUNK, TILE) masked min sweep
 # (round-2 baseline; O(CHUNK*TILE) VPU work per chunk — the dominant kernel
 # cost for fully-colored frames); "scan" = segmented lane scan: points in a
@@ -164,9 +191,11 @@ assert _SORTK in (2, 3)
 # cost (round-4a; PROFILE_r4.md) — if part of it is DMA issue-to-ready
 # latency peeking through double buffering, a deeper ring hides it by
 # keeping DEPTH-1 chunks in flight.
-# (round-4d A/B: depth 4 = 10.83 ms vs 10.93 at depth 2 on the 1M
-# champion; depth 8 within noise of 4)
-_DMADEPTH = int(_os.environ.get("GEM_FUSE_DMADEPTH", 4))
+# (round-4d A/B on the dot kernel: depth 4 = 10.83 ms vs 10.93 at depth
+# 2, depth 8 within noise; round-5 A/B on the fact champion t4096/c2048:
+# d8 = 8.63 vs d4 = 8.83 vs d2 = 8.88 — the bigger chunks leave more
+# latency to hide, so 8 is the default since round 5)
+_DMADEPTH = int(_os.environ.get("GEM_FUSE_DMADEPTH", 8))
 assert _DMADEPTH >= 2
 # chunk-loop unroll factor (dot kernel): U chunks per fori_loop iteration.
 # The geometry ladder pins ~1.5 us/chunk of fixed cost; part of it is

@@ -376,10 +376,11 @@ def test_stream_passa_fact_one_cell_and_lowest(monkeypatch):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("tile", [128, 256, 2048])
+@pytest.mark.parametrize("tile", [128, 256, 2048, 4096])
 def test_stream_passa_fact_tile_ladder(monkeypatch, tile):
-    """fact across group counts R = 1, 2, 16 (TILE = R*128): results match
-    the dot kernel to f32 dot-reassociation tolerance, colors exactly."""
+    """fact across group counts R = 1, 2, 16, 32 (TILE = R*128; 32 = the
+    round-5 shipped default): results match the dot kernel to f32
+    dot-reassociation tolerance, colors exactly."""
     import gem_tpu.kernels.fuse_stream as fs
 
     rng = np.random.default_rng(11)
