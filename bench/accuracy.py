@@ -7,8 +7,10 @@ jitted step on the accelerator — with the PRODUCTION fuse backend (the one
 harness used to score a superseded backend) and optionally every other
 backend — and on the CPU backend with the `segment` oracle-validated path,
 compares the final elevation planes on co-fused cells, and also scores both
-against the synthetic world's ground truth.  Writes BENCH_ACCURACY.json
-with the backend/date/method it actually measured.
+against the synthetic world's ground truth.  Writes a JSON record (dated
+/tmp path unless --out) with the backend/date/method it actually measured;
+the committed BENCH_ACCURACY.json is a deliberate promotion of such
+records across geometries (L=128 dense + L=1000 flagship).
 
 Usage: python bench/accuracy.py [--frames 60] [--length 128]
                                 [--backends stream,pallas,segment,sort]
@@ -26,6 +28,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+
+
+def default_out_path(arg_out: str, now=None) -> str:
+    """Out-path contract (mirrors bench.py --commit-detail hygiene): an
+    unspecified --out goes to a dated /tmp path so ad-hoc runs can never
+    clobber the committed multi-geometry BENCH_ACCURACY.json."""
+    if arg_out:
+        return arg_out
+    import time as _time
+    return _time.strftime("/tmp/BENCH_ACCURACY_%Y%m%d_%H%M%S.json",
+                          now or _time.localtime())
 
 
 def _final_state(cfg, frames, device, fuse_backend, feature_backend="xla"):
@@ -58,8 +71,11 @@ def main():
                          "gates raytrace deletions, so flagship-geometry "
                          "accuracy should measure the shipped path)")
     ap.add_argument("--out", default="",
-                    help="output JSON path; default = the committed "
-                         "BENCH_ACCURACY.json (sweeps should redirect)")
+                    help="output JSON path; default = a dated /tmp path so "
+                         "ad-hoc runs can never clobber the committed "
+                         "BENCH_ACCURACY.json (same hygiene contract as "
+                         "bench.py --commit-detail; the committed artifact "
+                         "is a deliberate multi-geometry promotion)")
     args = ap.parse_args()
 
     import jax
@@ -162,8 +178,7 @@ def main():
     res["validity_agreement"] = head["validity_agreement"]
 
     print(json.dumps(res, indent=2))
-    out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_ACCURACY.json")
+    out_path = default_out_path(args.out)
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
 

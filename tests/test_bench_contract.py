@@ -106,3 +106,19 @@ def test_bench_detail_default_never_clobbers_committed_artifact(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     after = open(committed).read() if os.path.exists(committed) else None
     assert before == after, "default bench.py run wrote BENCH_DETAIL.json"
+
+
+def test_accuracy_default_out_never_targets_committed_artifact():
+    """bench/accuracy.py with no --out must write to a dated /tmp path,
+    never the committed multi-geometry BENCH_ACCURACY.json (same hygiene
+    contract as bench.py --commit-detail)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gem_bench_accuracy", os.path.join(REPO, "bench", "accuracy.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = mod.default_out_path("")
+    assert p.startswith("/tmp/BENCH_ACCURACY_"), p
+    assert os.path.abspath(p) != os.path.join(REPO, "BENCH_ACCURACY.json")
+    # explicit --out passes through untouched
+    assert mod.default_out_path("/x/y.json") == "/x/y.json"
