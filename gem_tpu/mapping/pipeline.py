@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -39,6 +40,16 @@ from gem_tpu.kernels.raytrace import raytrace_cleanup
 from gem_tpu.motion.updater import (MotionState, apply_process_noise,
                                     init_motion_state, process_noise)
 from gem_tpu.sensors.models import jacobian_ingredients
+
+# Timing-only step ablations (results become WRONG; shapes stay faithful) —
+# same contract as GEM_FUSE_ABLATE in kernels/fuse_stream.py.  Used by
+# bench/probe.py to decompose the step's residual "glue" term by full-step
+# differences (bench/results/PROFILE_r5.md): "nomove" skips the window
+# relocation cond, "nomotion" skips pose-covariance process noise,
+# "nometrics" drops the per-frame map reductions (points_valid stays — it
+# is the probe harness's value-fetch anchor).
+_ABLATE = frozenset(filter(None,
+                           _os.environ.get("GEM_STEP_ABLATE", "").split(",")))
 
 
 @jax.tree_util.register_dataclass
@@ -142,8 +153,12 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
         moved, info = move(ms, cfg.map, track)
         return moved, info.shed, info.index_shift
 
-    map_state, shed, index_shift = jax.lax.cond(
-        use_jump, _jump_branch, _move_branch, state.map)
+    if "nomove" in _ABLATE:  # timing ablation: window never relocates
+        map_state, shed, index_shift = (state.map, _empty_shed(cfg),
+                                        jnp.zeros((2,), jnp.int32))
+    else:
+        map_state, shed, index_shift = jax.lax.cond(
+            use_jump, _jump_branch, _move_branch, state.map)
 
     # --- point processing ----------------------------------------------------
     sensor_jac, c_sb_t, p_bm_t, b_skew = jacobian_ingredients(
@@ -169,13 +184,16 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
         map_state = fuse(map_state, cfg, batch, backend=fuse_backend)
 
     # --- motion process noise (processmapcells path) ------------------------
-    var_update, motion = process_noise(track, frame.pose_quat, frame.pose_cov,
-                                       state.motion,
-                                       cfg.motion.covariance_scale)
-    if not cfg.motion.ignore_robot_motion_updates:
-        map_state = map_state.replace(
-            variance=apply_process_noise(map_state.variance, var_update,
-                                         cfg.map.invalid_variance))
+    if "nomotion" in _ABLATE:  # timing ablation
+        var_update, motion = jnp.float32(0.0), state.motion
+    else:
+        var_update, motion = process_noise(track, frame.pose_quat,
+                                           frame.pose_cov, state.motion,
+                                           cfg.motion.covariance_scale)
+        if not cfg.motion.ignore_robot_motion_updates:
+            map_state = map_state.replace(
+                variance=apply_process_noise(map_state.variance, var_update,
+                                             cfg.map.invalid_variance))
 
     # --- features -----------------------------------------------------------
     if cfg.enable_features:
@@ -268,11 +286,12 @@ def step(state: PipelineState, frame: Frame, cfg: PipelineConfig,
         last_track_z=track[2], last_keyframe_xy=last_keyframe_xy,
         frame_idx=state.frame_idx + 1,
     )
+    nometrics = "nometrics" in _ABLATE  # timing ablation
     metrics = {
         "points_valid": jnp.sum(batch.valid),
-        "cells_fused": jnp.sum(map_state.elevation
-                               != cfg.map.invalid_elevation),
-        "shed_count": jnp.sum(shed.valid),
+        "cells_fused": jnp.int32(0) if nometrics else jnp.sum(
+            map_state.elevation != cfg.map.invalid_elevation),
+        "shed_count": jnp.int32(0) if nometrics else jnp.sum(shed.valid),
         "index_shift": index_shift,
         "var_update": var_update,
     }
