@@ -120,3 +120,48 @@ def test_scan_replay_matches_stepwise():
                                   np.asarray(s.map.elevation))
     assert metrics["points_valid"].shape == (5,)
     assert int(s_scan.frame_idx) == 5
+
+
+def test_step_ablation_knobs(monkeypatch):
+    """GEM_STEP_ABLATE timing knobs (bench-only): default-off, and each
+    knob skips exactly its side computation (PROFILE_r5 glue audit)."""
+    import functools
+    import jax
+
+    from gem_tpu.mapping import pipeline as pl
+
+    assert pl._ABLATE == frozenset(), "ablations must default off"
+    cfg = _small_cfg(max_points=512)
+    frames = [f for f, _, _ in synthetic_frames(cfg, 3, n_points=400,
+                                                speed=0.8, seed=9)]
+
+    def run():
+        s = pl.init_pipeline_state(cfg)
+        f = jax.jit(functools.partial(pl.step, cfg=cfg))
+        for fr in frames:
+            s, out = f(s, fr)
+        return s, out
+
+    s_ref, out_ref = run()
+    assert int(out_ref.metrics["cells_fused"]) > 0
+
+    monkeypatch.setattr(pl, "_ABLATE",
+                        frozenset({"nomove", "nomotion", "nometrics"}))
+    s_ab, out_ab = run()
+    # nomove: the window never relocates and nothing is shed
+    np.testing.assert_array_equal(np.asarray(s_ab.map.center),
+                                  np.asarray(pl.init_pipeline_state(cfg)
+                                             .map.center))
+    assert not np.asarray(out_ab.shed.valid).any()
+    assert np.asarray(out_ab.metrics["index_shift"]).tolist() == [0, 0]
+    # nomotion: motion state is passed through untouched
+    np.testing.assert_array_equal(
+        np.asarray(s_ab.motion.prev_position),
+        np.asarray(pl.init_pipeline_state(cfg).motion.prev_position))
+    assert float(out_ab.metrics["var_update"]) == 0.0
+    # nometrics: map reductions zeroed, value-fetch anchor stays real
+    assert int(out_ab.metrics["cells_fused"]) == 0
+    assert int(out_ab.metrics["points_valid"]) > 0
+    # points still fuse — only the side computations are skipped
+    assert (np.asarray(s_ab.map.elevation)
+            != cfg.map.invalid_elevation).sum() > 0
