@@ -204,3 +204,50 @@ def test_fleet_state_forces_staging_off():
 
     st = make_fleet_state(_cfg(8), 2)
     assert st.submaps.staging.x.shape[1] == 0
+
+
+def test_fleet_matches_staged_solo_stores():
+    """Round-4 verdict weak #6: fleets force staging off
+    (fleet_effective_config), so solo (staged) and fleet (per-frame)
+    runs exercise DIFFERENT submap-append code.  Pin that the divergence
+    is invisible where it matters: a fleet run under a user config with
+    staging_frames > 0 must end with each robot's submap store
+    bit-identical to a solo run of the SAME config (staging ring active,
+    tail-flushed), fields, counts, finalized slots and all."""
+    from gem_tpu.io.replay import synthetic_frames
+    from gem_tpu.mapping.pipeline import init_pipeline_state, step
+    from gem_tpu.multirobot.fleet import fleet_step, make_fleet_state
+
+    cfg = PipelineConfig(
+        map=MapConfig(length=32, resolution=0.25, max_shift_cells=4),
+        sensor=SensorConfig(model="laser"),
+        body_filter=BodyFilterConfig(mode="none"),
+        submap=SubmapConfig(max_submaps=3, capacity=512,
+                            keyframe_distance=1.0, store_ortho=False,
+                            keyframe_scan_points=0, staging_frames=3),
+        max_points=256,
+    )
+    n, T = 2, 8
+    streams = [list(synthetic_frames(cfg, T, n_points=256,
+                                     speed=0.4 + 0.15 * r, seed=5 + r))
+               for r in range(n)]
+
+    fleet_state = make_fleet_state(cfg, n)   # staging forced off
+    saw_keyframe = False
+    for t in range(T):
+        frames = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[streams[r][t][0] for r in range(n)])
+        fleet_state, out = fleet_step(fleet_state, frames, cfg)
+        saw_keyframe |= bool(np.asarray(out.keyframe_due).any())
+    assert saw_keyframe, "drive too short to finalize a keyframe"
+
+    for r in range(n):
+        solo = init_pipeline_state(cfg)      # staging ring ACTIVE
+        for frame, _, _ in streams[r]:
+            solo, _ = step(solo, frame, cfg)
+        fleet_r = jax.tree.map(lambda x: x[r], fleet_state.submaps)
+        _assert_stores_equal(fleet_r, sm.flush_staging(solo.submaps))
+        np.testing.assert_array_equal(
+            np.asarray(fleet_state.map.elevation[r]),
+            np.asarray(solo.map.elevation))
