@@ -218,6 +218,34 @@ def test_fleet_loop_closure_corrects_z_drift():
     assert abs(records.items[0].factor_pose[2] + dz) < 0.05
 
 
+def test_center_gate_admits_large_drift():
+    """Round-4 advisor: the default colocation gate (0.4 * overlap_radius
+    = 10 m here) silently caps recoverable inter-robot drift.  With a
+    12 m believed-center drift every true pair is gated out by default
+    (geometry: cross distances are 12 / 12 / 25.2 / 14.3 m), but widening
+    `center_gate` to 18 m recovers the drift end-to-end — the peak
+    verification + per-pair consensus absorb the one mismatched-place
+    pair (A2-B1 at 14.3 m) the wider gate admits."""
+    cfg = _cfg()
+    t_d = (12.0, 0.0)
+    places = [(7, (0.0, 0.0)), (8, (9.0, 14.0))]
+    store_a = _robot_store(cfg, places)
+    store_b = _robot_store(cfg, places, drift=(0.0, t_d))
+    fleet = jax.tree.map(lambda *xs: jnp.stack(xs), store_a, store_b)
+
+    _, stats, _ = fleet_loop_closure(fleet, cfg)
+    assert stats["n_loops"] == 0, stats
+
+    corrected, stats, _ = fleet_loop_closure(fleet, cfg, center_gate=18.0)
+    assert stats["n_loops"] >= 2, stats
+    assert stats["max_pose_correction_m"] > 10.0, stats
+    poses = np.asarray(jax.device_get(corrected.poses))
+    bev_res = 2 * cfg.submap.overlap_radius / 128
+    for idx, (_, place) in enumerate(places):
+        np.testing.assert_allclose(poses[2 + idx, :2], place,
+                                   atol=3 * bev_res)
+
+
 def test_fleet_loop_closure_distinct_areas_no_loops():
     """Robots in disjoint areas: no candidate clears the similarity bar,
     the merged store passes through untouched."""
