@@ -122,6 +122,45 @@ def test_scan_replay_matches_stepwise():
     assert int(s_scan.frame_idx) == 5
 
 
+def test_degenerate_frames_all_padding_and_nan():
+    """Robustness probes at the full-step level: an all-padding frame
+    fuses nothing and invents no cells, and NaN point lanes marked valid
+    are sanitized before any plane (the reference crashes on neither:
+    its height-band filter drops NaN compares, gpu_process.cu:393-401)."""
+    import dataclasses as dc
+
+    cfg = _small_cfg(max_points=512)
+    pipe = ElevationPipeline(cfg)
+    frames = [f for f, _, _ in synthetic_frames(cfg, 4, n_points=400,
+                                                speed=0.3, seed=9)]
+    for f in frames[:2]:
+        pipe.process(f)
+    before = np.asarray(pipe.state.map.elevation).copy()
+    inv = cfg.map.invalid_elevation
+
+    # (a) all-padding frame at an unchanged pose
+    fpad = dc.replace(frames[2],
+                      valid=np.zeros_like(np.asarray(frames[2].valid)),
+                      track_position=frames[1].track_position,
+                      pose_quat=frames[1].pose_quat)
+    out = pipe.process(fpad)
+    assert int(out.metrics["points_valid"]) == 0
+    after = np.asarray(pipe.state.map.elevation)
+    assert not ((before == inv) & (after != inv)).any(), \
+        "padding frame created cells"
+    survived = (before != inv) & (after != inv)
+    np.testing.assert_array_equal(after[survived], before[survived])
+
+    # (b) NaN lanes marked valid
+    pts = np.asarray(frames[3].points).copy()
+    pts[:50] = np.nan
+    pipe.process(dc.replace(frames[3], points=pts))
+    for plane in ("elevation", "variance", "traver", "lowest",
+                  "intensity"):
+        arr = np.asarray(getattr(pipe.state.map, plane))
+        assert not np.isnan(arr).any(), plane
+
+
 def test_step_ablation_knobs(monkeypatch):
     """GEM_STEP_ABLATE timing knobs (bench-only): default-off, and each
     knob skips exactly its side computation (PROFILE_r5 glue audit)."""
