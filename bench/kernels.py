@@ -127,7 +127,20 @@ def main():
             res[name + "_ms"] = round(ms, 3) if ms else row.get("error")
             if ms:
                 comp = name.replace("step_no", "")
-                res[f"cost_{comp}_ms"] = round(step_ms[best] - ms, 3)
+                cost = round(step_ms[best] - ms, 3)
+                res[f"cost_{comp}_ms"] = cost
+                if cost < 0:
+                    # Ablating a phase can SLOW the step: XLA reschedules
+                    # the whole program around the hole (PROFILE_r5.md
+                    # "glue-term audit" — in-step composition cost).  The
+                    # isolated per-kernel probes (bench/probe.py phases,
+                    # PROFILE_r5 floor table) are the authoritative cost
+                    # for such a phase; flag it rather than publish a
+                    # negative cost silently.
+                    res[f"cost_{comp}_note"] = (
+                        "negative = removing this phase reschedules the "
+                        "program (composition effect); see PROFILE_r5.md "
+                        "floor table for the isolated cost")
             print(f"  {name}: {res[name + '_ms']} ms", file=sys.stderr,
                   flush=True)
 
