@@ -367,6 +367,16 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
         low_c = p[7:8, :] * (h + 3.0 * v) if with_lowest else z
 
         # --- pass B2: gated sums + start-row outlier payload + lowest -------
+        # Payload EXACTNESS (round-5 on-chip finding, bench/
+        # validate_colored.py): Mosaic's default dot precision truncates
+        # f32 inputs to bf16 on the MXU, which zeroes the low mantissa
+        # bits of packed-RGB ints (<2^24 needs all 24 significand bits)
+        # and of the copied intensity — interpret mode is exact, hardware
+        # was not.  The height/variance SUMS tolerate it (the blessed
+        # sub-mm accuracy records), so only the color/intensity payload
+        # columns move to a separate color-gated dot at
+        # precision=HIGHEST (exact: the one-hot operand is bf16-exact,
+        # <=1 contributing lane per cell).
         if with_color:
             inten = p[4:5, :]
             colf = p[5:6, :]
@@ -374,7 +384,7 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             oc = argout * hc
             b2 = jnp.transpose(jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout,
-                 oc, oc * v, oc * colf, oc * inten, low_c], axis=0))  # (C, 8)
+                 oc, oc * v, z, z, low_c], axis=0))  # (C, 8)
         else:
             b2 = jnp.transpose(jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
@@ -386,6 +396,20 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
             s2 = jax.lax.dot_general(b2, onehot, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
         stats_ref[4:12, :] += s2[0:8, :]
+
+        if with_color:
+            # overwrite-path (outlier start-row) color payload: bit-exact
+            # placement via HIGHEST; fires only on chunks that actually
+            # hold a colored outlier start row (rarer than hc > 0)
+            @pl.when(jnp.sum(oc) > 0.0)
+            def _():
+                boc = jnp.transpose(jnp.concatenate(
+                    [oc * colf, oc * inten], axis=0))          # (C, 2)
+                soc = jax.lax.dot_general(
+                    boc, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                stats_ref[9:11, :] += soc[0:2, :]
 
         def combine_vc(vc_chunk, col_chunk, int_chunk):
             vc_old = stats_ref[12, :]
@@ -446,9 +470,12 @@ def _kernel(starts_ref, pts_ref, elev0_ref, var0_ref, stats_ref,
                     s2c = jnp.broadcast_to(jnp.sum(b2c, axis=0)[:, None],
                                            (4, TILE))
                 else:
+                    # HIGHEST: packed-RGB / intensity payloads must
+                    # survive the MXU bit-exactly (see pass-B2 comment)
                     s2c = jax.lax.dot_general(
                         b2c, onehot, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
                 # decode the summed placement columns; all-zero (no colored
                 # inlier whose segment ends here) decodes to +inf = no-op
                 has = s2c[0, :] > 0.0
@@ -559,7 +586,7 @@ def _kernel_fact(starts_ref, pts_ref, elevq_ref, varq_ref, stats_ref,
 
     exp3 = exp_mat(3)
     exp8 = exp_mat(8)
-    exp4 = exp_mat(4) if with_color else None
+    exp6 = exp_mat(6) if with_color else None
 
     e_q = elevq_ref[0]           # (128, R): elevation prior, q-major
     v_q = varq_ref[0]            # (128, R): clamped variance prior
@@ -576,13 +603,23 @@ def _kernel_fact(starts_ref, pts_ref, elevq_ref, varq_ref, stats_ref,
         def _(d=d):
             get_dma(d, d).start()
 
-    def scatter(rows, expk, gmask, coloh):
-        """rows (k, C) -> per-(group, q) sums (W, 128); rows [k*R + r]."""
+    def scatter(rows, expk, gmask, coloh, precision=None):
+        """rows (k, C) -> per-(group, q) sums (W, 128); rows [k*R + r].
+
+        `precision=HIGHEST` for payload rows that must survive the MXU
+        bit-exactly (packed-RGB ints, copied intensity): Mosaic's default
+        dot precision truncates f32 inputs to bf16 — fine for the
+        height/variance sums (blessed sub-mm records), corrupting for
+        24-bit ints (round-5 on-chip finding, bench/validate_colored.py).
+        Exact because expk/gmask/coloh are 0/1 (bf16-exact) and <=1 lane
+        contributes per cell."""
         a = jax.lax.dot_general(rows, expk, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
         return jax.lax.dot_general(a * gmask, coloh,
                                    (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
 
     def combine_vc(vc_chunk, col_chunk, int_chunk):       # all (R, 128)
         vc_old = stats_ref[12 * R:13 * R, :]
@@ -653,9 +690,12 @@ def _kernel_fact(starts_ref, pts_ref, elevq_ref, varq_ref, stats_ref,
             colf = p[5:6, :]
             hc = p[6:7, :]
             oc = argout * hc
+            # color/intensity payload rows ride the HIGHEST-precision
+            # color-gated scatter below, not this default-precision one
+            # (see scatter() docstring)
             b2 = jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout,
-                 oc, oc * v, oc * colf, oc * inten, low_c], axis=0)
+                 oc, oc * v, z, z, low_c], axis=0)
         else:
             b2 = jnp.concatenate(
                 [inl_f * w, inl_f * w * h, argout, z, z, z, z, low_c],
@@ -690,12 +730,18 @@ def _kernel_fact(starts_ref, pts_ref, elevq_ref, varq_ref, stats_ref,
                 is_last = ((pltpu.roll(cl_i, CHUNK - 1, 1) != cl_i)
                            | (lane1 == CHUNK - 1))
                 fin = is_last & (vrow < _INF)
+                # ONE HIGHEST scatter places both the argmin-v payload
+                # and the overwrite-path (outlier start-row) payload the
+                # default-precision pass B2 no longer carries
                 s2c = scatter(jnp.concatenate(
                     [fin.astype(jnp.float32),
                      jnp.where(fin, vrow, 0.0),
                      jnp.where(fin, crow, 0.0),
-                     jnp.where(fin, irow, 0.0)], axis=0), exp4,
-                    gmask, coloh)
+                     jnp.where(fin, irow, 0.0),
+                     oc * colf, oc * inten], axis=0), exp6,
+                    gmask, coloh,
+                    precision=jax.lax.Precision.HIGHEST)
+                stats_ref[9 * R:11 * R, :] += s2c[4 * R:6 * R, :]
                 has = s2c[0:R, :] > 0.0
                 combine_vc(jnp.where(has, s2c[R:2 * R, :], _INF),
                            jnp.where(has, s2c[2 * R:3 * R, :], _INF),
@@ -739,6 +785,14 @@ def _kernel_scan(starts_ref, pts_ref, *refs,
     * The color argmin-v segmented scan runs unconditionally (it is
       (1, CHUNK) row work, ~1% of the one-hot build); its placement
       columns ride the same dot and decode exactly like _COLOR="scan".
+      CAVEAT (round-5 on-chip finding, bench/validate_colored.py): that
+      shared dot runs at default precision, which truncates f32 inputs
+      to bf16 on the real MXU — packed-RGB/intensity payloads lose their
+      low mantissa bits ON HARDWARE (interpret mode is exact).  The
+      shipped kernels (`_kernel`, `_kernel_fact`) route payload rows
+      through a separate HIGHEST-precision dot; fixing it here would
+      defeat this variant's whole single-dot design, so scan/scanp stay
+      research variants for COLORLESS streams on hardware.
 
     PASSA=scanp (`prior_dot=True`): identical except the prior does NOT
     ride the point matrix — XLA's 1M-index gather costs ~7.5 ms on this
